@@ -1,0 +1,93 @@
+"""BT.709 color conversion and 4:2:0 <-> 4:4:4 chroma resampling (host side).
+
+Numerics match the reference (`/root/reference/src/utils/functional.py`):
+RGB<->YCbCr uses ITU-R BT.709 coefficients; 444->420 is a 2x2 mean; 420->444
+upsampling uses spline interpolation of the requested order (1 = bilinear via
+scipy.ndimage.zoom, matching the reference's choice).
+
+These run on the host (numpy) because they sit at the file-I/O boundary; the
+in-network tensor variants live alongside as jnp-compatible pure functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage
+
+YCBCR_WEIGHTS = {
+    # (K_r, K_g, K_b) with K_g = 1 - K_r - K_b
+    "ITU-R_BT.709": (0.2126, 0.7152, 0.0722),
+}
+
+
+def rgb_to_ycbcr420(rgb: np.ndarray):
+    """3xHxW RGB float [0,1] -> (y: 1xHxW, uv: 2x(H/2)x(W/2))."""
+    c, h, w = rgb.shape
+    assert c == 3
+    assert h % 2 == 0 and w % 2 == 0
+    r, g, b = np.split(rgb, 3, axis=0)
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    y = Kr * r + Kg * g + Kb * b
+    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
+    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+
+    cb = np.mean(np.reshape(cb, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
+    cr = np.mean(np.reshape(cr, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
+    uv = np.concatenate((cb, cr), axis=0)
+
+    y = np.clip(y, 0.0, 1.0)
+    uv = np.clip(uv, 0.0, 1.0)
+    return y, uv
+
+
+def ycbcr420_to_rgb(y: np.ndarray, uv: np.ndarray, order: int = 1) -> np.ndarray:
+    """(y: 1xHxW, uv: 2x(H/2)x(W/2)) float [0,1] -> 3xHxW RGB float [0,1].
+
+    order: 0 nearest neighbour, 1 bilinear (default).
+    """
+    uv = scipy.ndimage.zoom(uv, (1, 2, 2), order=order)
+    cb = uv[0:1, :, :]
+    cr = uv[1:2, :, :]
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    r = y + (2 - 2 * Kr) * (cr - 0.5)
+    b = y + (2 - 2 * Kb) * (cb - 0.5)
+    g = (y - Kr * r - Kb * b) / Kg
+    rgb = np.concatenate((r, g, b), axis=0)
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def ycbcr420_to_444(y: np.ndarray, uv: np.ndarray, order: int = 1) -> np.ndarray:
+    uv = scipy.ndimage.zoom(uv, (1, 2, 2), order=order)
+    return np.concatenate((y, uv), axis=0)
+
+
+def ycbcr444_to_420(yuv: np.ndarray):
+    c, h, w = yuv.shape
+    assert c == 3
+    assert h % 2 == 0 and w % 2 == 0
+    y, u, v = np.split(yuv, 3, axis=0)
+    u = np.mean(np.reshape(u, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
+    v = np.mean(np.reshape(v, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
+    uv = np.concatenate((u, v), axis=0)
+    return np.clip(y, 0.0, 1.0), np.clip(uv, 0.0, 1.0)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """3xHxW RGB float [0,1] -> 3xHxW YCbCr float [0,1] (no subsampling)."""
+    r, g, b = np.split(rgb, 3, axis=0)
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    y = Kr * r + Kg * g + Kb * b
+    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
+    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+    yuv = np.concatenate((y, cb, cr), axis=0)
+    return np.clip(yuv, 0.0, 1.0)
+
+
+def ycbcr_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    y, cb, cr = np.split(yuv, 3, axis=0)
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    r = y + (2 - 2 * Kr) * (cr - 0.5)
+    b = y + (2 - 2 * Kb) * (cb - 0.5)
+    g = (y - Kr * r - Kb * b) / Kg
+    rgb = np.concatenate((r, g, b), axis=0)
+    return np.clip(rgb, 0.0, 1.0)

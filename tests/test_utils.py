@@ -1,0 +1,139 @@
+"""Utils tests: padding math, color conversion, imresize, metrics, stream."""
+
+import math
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from lssvc_tpu.utils import (
+    get_padding_size, get_interlayer_padding, inverse_padding_size,
+    rgb_to_ycbcr420, ycbcr420_to_rgb, rgb_to_ycbcr, ycbcr_to_rgb,
+    imresize, encode_i, decode_i, encode_p, decode_p, get_downsampled_shape,
+)
+from lssvc_tpu.utils.metrics import calc_msssim, calc_psnr
+
+
+def test_get_padding_size():
+    assert get_padding_size(1080, 1920) == (0, 0, 0, 8)
+    assert get_padding_size(480, 832) == (0, 0, 0, 32)
+    assert get_padding_size(64, 64) == (0, 0, 0, 0)
+
+
+@pytest.mark.parametrize("h,w,ratio", [
+    (1080, 1920, 2.0), (1080, 1920, 1.5), (1080, 1920, 3.0), (1080, 1920, 4.0),
+    (480, 832, 2.0), (480, 832, 1.5), (720, 1280, 2.0), (240, 416, 2.0),
+])
+def test_interlayer_padding_divisibility(h, w, ratio):
+    r = get_interlayer_padding(h, w, ratio)
+    H, W = r["HR_padded_size"]
+    Hl, Wl = r["LR_padded_size"]
+    assert H % 64 == 0 and W % 64 == 0
+    assert H % (64 * ratio) == 0 and W % (64 * ratio) == 0
+    assert Hl * ratio == H and Wl * ratio == W
+    assert Hl % 64 == 0 and Wl % 64 == 0
+    pl, pr, pt, pb = r["P_HR"]
+    assert (h + pt + pb, w + pl + pr) == (H, W)
+
+
+def test_interlayer_padding_1080_x2_values():
+    # known values: 1080 -> 1152 (mult of 128), 1920 stays
+    r = get_interlayer_padding(1080, 1920, 2.0)
+    assert r["HR_padded_size"] == (1152, 1920)
+    assert r["LR_padded_size"] == (576, 960)
+    assert r["LR_size"] == (540, 960)
+
+
+def test_inverse_padding():
+    assert inverse_padding_size((0, 3, 0, 5)) == (0, -3, 0, -5)
+
+
+def test_color_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = rng.random((3, 32, 48)).astype(np.float32)
+    y, uv = rgb_to_ycbcr420(rgb)
+    assert y.shape == (1, 32, 48) and uv.shape == (2, 16, 24)
+    rec = ycbcr420_to_rgb(y, uv)
+    # 420 subsampling is lossy; just sanity bounds + rough fidelity
+    assert rec.shape == rgb.shape
+    assert np.mean(np.abs(rec - rgb)) < 0.1
+
+    yuv = rgb_to_ycbcr(rgb)
+    rec444 = ycbcr_to_rgb(yuv)
+    np.testing.assert_allclose(rec444, rgb, atol=1e-5)
+
+
+def _ref_imresize(x, sizes):
+    """Oracle: the reference's standalone MATLAB-bicubic (torch)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        from src.utils.core import imresize as ref_imresize
+        return ref_imresize(x, sizes=sizes)
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 64), (32, 32)),      # x2 down
+    ((96, 128), (64, 86)),     # x1.5 down (non-integer)
+    ((48, 48), (16, 16)),      # x3 down
+    ((32, 32), (64, 64)),      # x2 up
+    ((30, 42), (17, 23)),      # odd sizes
+])
+def test_imresize_matches_matlab_bicubic(in_hw, out_hw):
+    torch.manual_seed(0)
+    x = torch.rand(1, 3, *in_hw)
+    ref = _ref_imresize(x, sizes=out_hw).numpy()
+    out = np.asarray(imresize(jnp.asarray(x.numpy()), sizes=out_hw))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_imresize_scale_arg():
+    torch.manual_seed(1)
+    x = torch.rand(1, 1, 64, 64)
+    ref = _ref_imresize(x, sizes=(32, 32)).numpy()
+    out = np.asarray(imresize(jnp.asarray(x.numpy()), scale=0.5))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_psnr_msssim_sanity():
+    rng = np.random.default_rng(1)
+    a = rng.random((256, 256))
+    assert calc_psnr(a, a, data_range=1) == 999.9
+    b = np.clip(a + rng.normal(0, 0.01, a.shape), 0, 1)
+    p = calc_psnr(a, b, data_range=1)
+    assert 35 < p < 45
+    s = calc_msssim(a, b, data_range=1)
+    assert 0.5 < s <= 1.0
+    assert calc_msssim(a, a, data_range=1) > 0.999
+
+
+def test_msssim_small_frame_fallback():
+    rng = np.random.default_rng(2)
+    a = rng.random((100, 100))  # triggers 4-level path
+    b = np.clip(a + 0.01, 0, 1)
+    s = calc_msssim(a, b, data_range=1)
+    assert 0 < s <= 1.0
+    a = rng.random((64, 64))  # triggers 3-level path
+    s = calc_msssim(a, np.clip(a + 0.01, 0, 1), data_range=1)
+    assert 0 < s <= 1.0
+
+
+def test_stream_container_roundtrip(tmp_path):
+    y, z = b"hello-y-string", b"zz"
+    p = str(tmp_path / "i.bin")
+    encode_i(1080, 1920, y, z, p)
+    h, w, y2, z2 = decode_i(p)
+    assert (h, w, y2, z2) == (1080, 1920, y, z)
+
+    p2 = str(tmp_path / "p.bin")
+    encode_p(b"\x00\x01payload", p2)
+    assert decode_p(p2) == b"\x00\x01payload"
+
+
+def test_get_downsampled_shape():
+    assert get_downsampled_shape(1080, 1920, 64) == (18, 30)
+    assert get_downsampled_shape(1152, 1920, 64) == (18, 30)
