@@ -202,6 +202,62 @@ def multi_scale_context_fusion(p, c1, c2, c3, slope=0.01):
 
 
 # ---------------------------------------------------------------------------
+# GDN residual autoencoders (shared by IntraSS EL and DMC, identical module
+# naming: `IntraModules/layers.py:342-411` == `dmc_net.py:65-156`)
+
+def gdn_res_encoder(p, x, c1, c2, c3):
+    """Context-conditioned analysis: conv+GDN stages interleaved with
+    bottleneck ResBlocks on concatenated multi-scale contexts."""
+    f = conv(p.sub("conv1"), jnp.concatenate([x, c1], axis=-1), stride=2)
+    f = gdn_p(p.sub("gdn1"), f)
+    f = res_block(p.sub("res1"), jnp.concatenate([f, c2], axis=-1),
+                  slope=0.1, start_from_relu=False, end_with_relu=True)
+    f = conv(p.sub("conv2"), f, stride=2)
+    f = gdn_p(p.sub("gdn2"), f)
+    f = res_block(p.sub("res2"), jnp.concatenate([f, c3], axis=-1),
+                  slope=0.1, start_from_relu=False, end_with_relu=True)
+    f = conv(p.sub("conv3"), f, stride=2)
+    f = gdn_p(p.sub("gdn3"), f)
+    return conv(p.sub("conv4"), f, stride=2)
+
+
+def gdn_res_decoder(p, y, c2, c3):
+    """Context-conditioned synthesis mirror of gdn_res_encoder."""
+    f = subpel_conv(p.sub("up1"), y, 2)
+    f = gdn_p(p.sub("gdn1"), f, inverse=True)
+    f = subpel_conv(p.sub("up2"), f, 2)
+    f = gdn_p(p.sub("gdn2"), f, inverse=True)
+    f = res_block(p.sub("res1"), jnp.concatenate([f, c3], axis=-1),
+                  slope=0.1, start_from_relu=False, end_with_relu=True)
+    f = subpel_conv(p.sub("up3"), f, 2)
+    f = gdn_p(p.sub("gdn3"), f, inverse=True)
+    f = res_block(p.sub("res2"), jnp.concatenate([f, c2], axis=-1),
+                  slope=0.1, start_from_relu=False, end_with_relu=True)
+    return subpel_conv(p.sub("up4"), f, 2)
+
+
+def recon_generation_simple(p, ctx, res):
+    """conv + 2 ResBlocks + recon conv (`dmc_net.py:143-156`,
+    `layers.py:398-411`). Returns (feature, recon)."""
+    f = conv(p.sub("feature_conv.0"), jnp.concatenate([ctx, res], axis=-1))
+    f = res_block(p.sub("feature_conv.1"), f)
+    f = res_block(p.sub("feature_conv.2"), f)
+    recon = conv(p.sub("recon_conv"), f)
+    return f, recon
+
+
+def temporal_prior_encoder_gdn(p, c1, c2, c3):
+    """Multi-scale temporal prior (`dmc_net.py:121-140`)."""
+    f = conv(p.sub("conv1"), c1, stride=2)
+    f = gdn_p(p.sub("gdn1"), f)
+    f = conv(p.sub("conv2"), jnp.concatenate([f, c2], axis=-1), stride=2)
+    f = gdn_p(p.sub("gdn2"), f)
+    f = conv(p.sub("conv3"), jnp.concatenate([f, c3], axis=-1), stride=2)
+    f = gdn_p(p.sub("gdn3"), f)
+    return conv(p.sub("conv4"), f, stride=2)
+
+
+# ---------------------------------------------------------------------------
 # SpyNet motion estimation
 
 def me_basic(p, x):

@@ -1,0 +1,255 @@
+"""DMC — conditional-coding P-frame codec for the base layer (DCVC-TCM style).
+
+Behavioral contract: `/root/reference/src/models/dmc_net.py:159-488` and the
+streaming extension `dmc_net_extend.py:10-173`.  Pipeline per frame:
+SpyNet motion estimation -> MV autoencoder with hyperprior -> multi-scale
+motion-compensated context -> conditional residual autoencoder whose entropy
+parameters fuse a temporal prior with the hyperprior.
+
+The whole P-frame forward is one jitted NHWC program; the DPB entries
+(recon frame + feature) stay on device across frames.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..convert import P
+from ..entropy.models import factorized_bits, laplace_bits
+from ..ops import flow_warp, leaky_relu
+from .base import Model
+from .components import (
+    conv,
+    deconv,
+    feature_extractor_3scale,
+    gdn_p,
+    gdn_res_decoder,
+    gdn_res_encoder,
+    me_spynet,
+    multi_scale_context_fusion,
+    recon_generation_simple,
+    res_block,
+    scaled_flows,
+    temporal_prior_encoder_gdn,
+)
+
+LOG2 = math.log(2.0)
+
+
+def mv_encoder(p, mv):
+    """4x stride-2 conv/GDN/ResBlock stages (`dmc_net.py:174-188`)."""
+    x = mv
+    for i, base in enumerate((0, 4, 8)):
+        x = conv(p.sub(str(base)), x, stride=2)
+        x = gdn_p(p.sub(str(base + 1)), x)
+        x = res_block(p.sub(str(base + 2)), x, start_from_relu=False)
+        x = leaky_relu(x, 0.1)
+    return conv(p.sub("12"), x, stride=2)
+
+
+def hyper_encoder(p, x):
+    """conv / conv s2 / conv s2 (`dmc_net.py:190-196,230-236`)."""
+    x = leaky_relu(conv(p.sub("0"), x), 0.01)
+    x = leaky_relu(conv(p.sub("2"), x, stride=2), 0.01)
+    return conv(p.sub("4"), x, stride=2)
+
+
+def hyper_decoder(p, z_hat):
+    """deconv s2 / deconv s2 / deconv s1 (`dmc_net.py:198-206,238-246`)."""
+    x = leaky_relu(deconv(p.sub("0"), z_hat), 0.01)
+    x = leaky_relu(deconv(p.sub("2"), x), 0.01)
+    return deconv(p.sub("4"), x, stride=1, padding=1, output_padding=0)
+
+
+def mv_decoder(p, mv_y_hat):
+    """deconv/ResBlock/IGDN pyramid back to a 2-ch flow (`dmc_net.py:208-221`)."""
+    x = deconv(p.sub("0"), mv_y_hat)
+    x = leaky_relu(x, 0.1)
+    x = res_block(p.sub("2"), x, start_from_relu=False)
+    x = gdn_p(p.sub("3"), x, inverse=True)
+    x = deconv(p.sub("4"), x)
+    x = gdn_p(p.sub("5"), x, inverse=True)
+    x = deconv(p.sub("6"), x)
+    x = gdn_p(p.sub("7"), x, inverse=True)
+    return deconv(p.sub("8"), x)
+
+
+def entropy_parameters(p, x):
+    x = leaky_relu(conv(p.sub("0"), x), 0.01)
+    x = leaky_relu(conv(p.sub("2"), x), 0.01)
+    return conv(p.sub("4"), x)
+
+
+def motion_compensation(p, ref, feature, mv):
+    """Warp multi-scale reference features and fuse (`dmc_net.py:352-368`)."""
+    warpframe = flow_warp(ref, mv)
+    mv1, mv2, mv3 = scaled_flows(mv)
+    if feature is None:
+        f = conv(p.sub("feature_adaptor_I"), ref)
+    else:
+        f = conv(p.sub("feature_adaptor_P"), feature)
+    f1, f2, f3 = feature_extractor_3scale(p.sub("feature_extractor"), f)
+    c1 = flow_warp(f1, mv1)
+    c2 = flow_warp(f2, mv2)
+    c3 = flow_warp(f3, mv3)
+    c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
+    return c1, c2, c3, warpframe
+
+
+def forward_inter(params, x, ref_frame, ref_feature):
+    """Eval P-frame forward with estimated bits (`dmc_net.py:421-488`).
+
+    ref_feature may be None (I-frame reference) — a distinct compiled
+    variant, resolved at trace time.
+    """
+    p = P(params)
+    est_mv = me_spynet(p.sub("optic_flow"), x, ref_frame)
+    mv_y = mv_encoder(p.sub("mv_encoder"), est_mv)
+    mv_z = hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
+    mv_z_hat = jnp.round(mv_z)
+    mv_params = hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
+    half = mv_params.shape[-1] // 2
+    mv_scales_hat = mv_params[..., :half]
+    mv_means_hat = mv_params[..., half:]
+    mv_y_q = jnp.round(mv_y - mv_means_hat)
+    mv_y_hat = mv_y_q + mv_means_hat
+    mv_hat = mv_decoder(p.sub("mv_decoder"), mv_y_hat)
+
+    c1, c2, c3, warpframe = motion_compensation(p, ref_frame, ref_feature, mv_hat)
+
+    y = gdn_res_encoder(p.sub("res_encoder"), x, c1, c2, c3)
+    z = hyper_encoder(p.sub("res_prior_encoder"), y)
+    z_hat = jnp.round(z)
+    hierarchical = hyper_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder_gdn(p.sub("temporal_prior_encoder"),
+                                          c1, c2, c3)
+    gaussian_params = entropy_parameters(
+        p.sub("res_entropy_parameter"),
+        jnp.concatenate([temporal, hierarchical], axis=-1))
+    half = gaussian_params.shape[-1] // 2
+    scales_hat = gaussian_params[..., :half]
+    means_hat = gaussian_params[..., half:]
+    y_q = jnp.round(y - means_hat)
+    y_hat = y_q + means_hat
+
+    recon_feature = gdn_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon_image = recon_generation_simple(
+        p.sub("recon_generation_net"), recon_feature, c1)
+
+    bits_y, _ = laplace_bits(y_q, scales_hat)
+    bits_mv_y, _ = laplace_bits(mv_y_q, mv_scales_hat)
+    bits_z, _ = factorized_bits(p.sub("bit_estimator_z"), z_hat)
+    bits_mv_z, _ = factorized_bits(p.sub("bit_estimator_z_mv"), mv_z_hat)
+    total_bits = bits_y + bits_z + bits_mv_y + bits_mv_z
+
+    pixel_num = x.shape[0] * x.shape[1] * x.shape[2]
+    return {
+        "bpp": total_bits / pixel_num,
+        "bits": total_bits,
+        "mse_loss": jnp.mean(jnp.square(recon_image - x)),
+        "recon_image": recon_image,
+        "feature": feature,
+        "y_hat": y_hat,
+        "mv_hat": mv_hat,
+        "temporal_params": temporal,
+        "warp_frame": warpframe,
+        "scales_hat": scales_hat,
+        "mv_scales_hat": mv_scales_hat,
+        "y_q": y_q,
+        "mv_y_q": mv_y_q,
+        "z_hat": z_hat,
+        "mv_z_hat": mv_z_hat,
+        "context1": c1,
+        "context2": c2,
+        "context3": c3,
+    }
+
+
+# None ref_feature is an empty pytree — jit specializes per structure.
+_forward_inter_jit = jax.jit(forward_inter)
+
+
+_TRANSPOSED = frozenset(
+    [f"mv_prior_decoder.{i}.weight" for i in (0, 2, 4)]
+    + [f"mv_decoder.{i}.weight" for i in (0, 4, 6, 8)]
+    + [f"res_prior_decoder.{i}.weight" for i in (0, 2, 4)]
+)
+
+
+class DMC(Model):
+    TRANSPOSED_CONV_KEYS = _TRANSPOSED
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self.channel_mv = 128
+        self.channel_N = 64
+        self.channel_M = 96
+        self._coder = None
+
+    def get_inter_layer_information(self, x, ref_frame, ref_feature):
+        return _forward_inter_jit(self.params, x, ref_frame, ref_feature)
+
+    def encode_decode(self, x, ref_frame, ref_feature, output_path=None,
+                      pic_width=None, pic_height=None, **_):
+        if output_path is not None:
+            return self.encode_decode_extend(x, {"ref_frame_bl": ref_frame,
+                                                 "ref_feature_bl": ref_feature},
+                                             output_path, pic_width, pic_height)
+        out = self.get_inter_layer_information(x, ref_frame, ref_feature)
+        return {
+            "dpb": {"ref_frame": out["recon_image"], "ref_feature": out["feature"]},
+            "bit": float(out["bits"]),
+            "decoding_time": 0,
+        }
+
+
+class DMCExtend(DMC):
+    """Real-bitstream base layer (`dmc_net_extend.py`); coder wiring lives in
+    entropy.coder / models.dmc_stream."""
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self.decoding_profiling = {}
+
+    def update(self, force=False):
+        from ..entropy.coder import VideoCoder
+
+        if self._coder is None or force:
+            self._coder = VideoCoder(self.params)
+
+    def compress(self, x, dpb):
+        from .dmc_stream import compress as _compress
+
+        return _compress(self, x, dpb)
+
+    def decompress(self, string, height, width, dpb):
+        from .dmc_stream import decompress as _decompress
+
+        return _decompress(self, string, height, width, dpb)
+
+    def encode_decode_extend(self, x, dpb, output_path=None, pic_width=None,
+                             pic_height=None):
+        import time
+
+        from ..utils.stream import decode_p, encode_p, filesize
+
+        t0 = time.time()
+        encoded = self.compress(x, dpb)
+        encode_p(encoded["string"], output_path)
+        bits = filesize(output_path) * 8
+        jax.block_until_ready(encoded["dpb"]["ref_frame_bl"])
+        t1 = time.time()
+        string = decode_p(output_path)
+        decoded = self.decompress(string, pic_height, pic_width, dpb)
+        jax.block_until_ready(decoded["dpb"]["ref_frame_bl"])
+        t2 = time.time()
+        return {
+            "dpb": decoded["dpb"],
+            "bit": bits,
+            "encoding_time": t1 - t0,
+            "decoding_time": t2 - t1,
+        }

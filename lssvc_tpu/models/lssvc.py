@@ -1,0 +1,382 @@
+"""LSSVC — the enhancement-layer P-frame codec (the paper's core model).
+
+Behavioral contract: `/root/reference/src/models/LSSVC_net.py:12-528` and the
+streaming extension `LSSVC_net_extend.py`.  Per two-layer P-frame:
+
+  BL: DMC conditional coding (base_layer_model.*)
+  inter-layer: MvResampler / TextureResampler / LayerPriorResampler lift the
+    BL motion, texture and latent onto the EL grids
+  EL motion: SpyNet flow coded conditionally on the upsampled BL motion
+  EL context: motion-compensated temporal contexts (with OffsetDiversity
+    alignment) blended with resampled BL texture via learned softmax maps
+  EL residual: conditional AE whose entropy parameters fuse hyper, temporal
+    and layer priors, quantized through the four-part checkerboard prior
+
+The full two-layer forward is a single jitted NHWC program; `shape_hr`,
+`scale_factor` and `pad_size` are static arguments (one executable per
+resolution/ratio).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..convert import P
+from ..entropy.models import factorized_bits, laplace_bits
+from ..ops import flow_warp, leaky_relu, pad_nhwc
+from .base import Model
+from . import dmc
+from .components import (
+    conv,
+    feature_extractor_3scale,
+    gdn_p,
+    me_spynet,
+    multi_scale_context_fusion,
+    res_block,
+    scaled_flows,
+    subpel_conv,
+)
+from .four_part_prior import forward_four_part_prior
+from .lssvc_blocks import (
+    el_recon_generation,
+    el_res_decoder,
+    el_res_encoder,
+    hybrid_weight_generator,
+    layer_prior_resampler,
+    mv_context_transformer,
+    mv_res_decoder,
+    mv_res_encoder,
+    mv_resampler,
+    offset_diversity,
+    prior_fusion,
+    texture_resampler,
+)
+
+LOG2 = math.log(2.0)
+
+
+def mv_ctx_prior_encoder(p, mv_upsample):
+    """4x stride-2 conv+GDN on the upsampled BL motion (`LSSVC_net.py:108-116`)."""
+    f = conv(p.sub("0"), mv_upsample, stride=2)
+    f = gdn_p(p.sub("1"), f)
+    f = conv(p.sub("2"), f, stride=2)
+    f = gdn_p(p.sub("3"), f)
+    f = conv(p.sub("4"), f, stride=2)
+    f = gdn_p(p.sub("5"), f)
+    return conv(p.sub("6"), f, stride=2)
+
+
+def mv_hyper_encoder(p, x):
+    f = leaky_relu(conv(p.sub("0"), x), 0.01)
+    f = leaky_relu(conv(p.sub("2"), f, stride=2), 0.01)
+    return conv(p.sub("4"), f, stride=2)
+
+
+def mv_hyper_decoder(p, z_hat):
+    f = leaky_relu(subpel_conv(p.sub("0"), z_hat, 2), 0.01)
+    f = leaky_relu(subpel_conv(p.sub("2"), f, 2), 0.01)
+    return conv(p.sub("4"), f)
+
+
+def mv_prior_fusion(p, x):
+    f = leaky_relu(conv(p.sub("0"), x), 0.01)
+    f = leaky_relu(conv(p.sub("2"), f), 0.01)
+    return conv(p.sub("4"), f)
+
+
+def res_prior_encoder(p, y):
+    f = leaky_relu(conv(p.sub("0"), y), 0.01)
+    f = leaky_relu(conv(p.sub("2"), f, stride=2), 0.01)
+    return conv(p.sub("4"), f, stride=2)
+
+
+def res_prior_decoder(p, z_hat):
+    f = leaky_relu(conv(p.sub("0"), z_hat), 0.01)
+    f = leaky_relu(subpel_conv(p.sub("2"), f, 2), 0.01)
+    f = leaky_relu(conv(p.sub("4"), f), 0.01)
+    f = leaky_relu(subpel_conv(p.sub("6"), f, 2), 0.01)
+    return conv(p.sub("8"), f)
+
+
+def temporal_prior_encoder(p, c3):
+    f = conv(p.sub("0"), c3, stride=2)
+    f = leaky_relu(f, 0.1)
+    return conv(p.sub("2"), f, stride=2)
+
+
+def el_feature_adaptor(p, ref_el, feature_el):
+    """Static dispatch on DPB feature provenance (`LSSVC_net.py:195-202`)."""
+    if feature_el is None:
+        return conv(p.sub("feature_adaptor_EL_I"), ref_el)
+    if feature_el.shape[-1] == 64:
+        return conv(p.sub("feature_adaptor_EL_first_P"), feature_el)
+    return conv(p.sub("feature_adaptor_EL"), feature_el)
+
+
+def el_motion_compensation(p, ref_el, feature_el, mv):
+    """Warp EL features at 3 scales with OffsetDiversity refinement at full
+    resolution (`LSSVC_net.py:229-244`)."""
+    warpframe = flow_warp(ref_el, mv)
+    mv1, mv2, mv3 = scaled_flows(mv)
+    f = el_feature_adaptor(p, ref_el, feature_el)
+    f1, f2, f3 = feature_extractor_3scale(p.sub("feature_extractor"), f)
+    c1_init = flow_warp(f1, mv1)
+    c1 = offset_diversity(p.sub("align"), f1,
+                          jnp.concatenate([c1_init, warpframe, mv], axis=-1), mv)
+    c2 = flow_warp(f2, mv2)
+    c3 = flow_warp(f3, mv3)
+    c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
+    return (c1, c2, c3), warpframe
+
+
+def hybrid_context_fusion(p, texture_bl, mv, ref_el, feature_el, shape_hr):
+    """Blend temporal and spatial (BL-texture) contexts (`LSSVC_net.py:246-259`)."""
+    temporal_ctx, warp_frame = el_motion_compensation(p, ref_el, feature_el, mv)
+    if texture_bl is not None:
+        texture = texture_resampler(p.sub("texture_resampler"), texture_bl, shape_hr)
+        spatial_ctx = feature_extractor_3scale(p.sub("texture_extractor"), texture)
+        map_t, map_s = hybrid_weight_generator(p.sub("weight_map_generator"),
+                                               temporal_ctx, spatial_ctx)
+        c1 = temporal_ctx[0] * map_t[0] + spatial_ctx[0] * map_s[0]
+        c2 = temporal_ctx[1] * map_t[1] + spatial_ctx[1] * map_s[1]
+        c3 = temporal_ctx[2] * map_t[2] + spatial_ctx[2] * map_s[2]
+    else:
+        c1, c2, c3 = temporal_ctx
+    c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
+    return c1, c2, c3, warp_frame
+
+
+def el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor):
+    """BL-conditioned EL motion estimation + coding.  Returns everything the
+    residual stage and the bit count need."""
+    mv_upsample = mv_resampler(p.sub("mv_resampler"), mv_bl_hat, shape_hr,
+                               scale_factor)
+    mv_ctx_prior = mv_ctx_prior_encoder(p.sub("mv_ctx_prior_encoder"), mv_upsample)
+    mv_ctx = mv_context_transformer(p.sub("mv_ctx_transform"), mv_upsample)
+
+    mv = me_spynet(p.sub("optic_flow"), x_el, ref_el)
+    mv_y = mv_res_encoder(p.sub("mv_encoder"), mv, mv_ctx)
+    mv_z = mv_hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
+    mv_z_hat = jnp.round(mv_z)
+    mv_hyper_prior = mv_hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
+    mv_params = mv_prior_fusion(
+        p.sub("mv_prior_fusion"),
+        jnp.concatenate([mv_hyper_prior, mv_ctx_prior], axis=-1))
+    half = mv_params.shape[-1] // 2
+    mv_scales_hat = mv_params[..., :half]
+    mv_means_hat = mv_params[..., half:]
+    mv_y_q = jnp.round(mv_y - mv_means_hat)
+    mv_y_hat = mv_y_q + mv_means_hat
+    mv_hat = mv_res_decoder(p.sub("mv_decoder"), mv_y_hat, mv_ctx)
+    return {
+        "mv_hat": mv_hat,
+        "mv_y_q": mv_y_q,
+        "mv_z_hat": mv_z_hat,
+        "mv_scales_hat": mv_scales_hat,
+        "mv_ctx": mv_ctx,
+        "mv_ctx_prior": mv_ctx_prior,
+    }
+
+
+def el_forward(params, x_el, ref_el, feature_el, texture_bl, mv_bl_hat,
+               y_bl_hat, shape_hr, scale_factor):
+    """Full EL P-frame forward (estimated bits)."""
+    p = P(params)
+    mc = el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor)
+    c1, c2, c3, warp_frame = hybrid_context_fusion(
+        p, texture_bl, mc["mv_hat"], ref_el, feature_el, shape_hr)
+
+    y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
+    z = res_prior_encoder(p.sub("res_prior_encoder"), y)
+    z_hat = jnp.round(z)
+    hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
+    layer_prior = layer_prior_resampler(
+        p.sub("layer_prior_resampler"), y_bl_hat,
+        (shape_hr[0] // 16, shape_hr[1] // 16))
+    common_params = prior_fusion(p.sub("prior_fusion_net"), hierarchical,
+                                 temporal, layer_prior)
+
+    y_res, y_q, y_hat, scales_hat = forward_four_part_prior(p, y, common_params)
+
+    recon_feature = el_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon_el = el_recon_generation(p.sub("recon_generation_net"),
+                                            recon_feature, c1)
+
+    bits_y, _ = laplace_bits(y_q, scales_hat)
+    bits_mv_y, _ = laplace_bits(mc["mv_y_q"], mc["mv_scales_hat"])
+    bits_z, _ = factorized_bits(p.sub("bit_estimator_z"), z_hat)
+    bits_mv_z, _ = factorized_bits(p.sub("bit_estimator_z_mv"), mc["mv_z_hat"])
+    bits_el = bits_y + bits_mv_y + bits_z + bits_mv_z
+
+    return {
+        "recon_el": recon_el,
+        "feature_el": feature,
+        "bits_el": bits_el,
+        "mv_hat": mc["mv_hat"],
+        "warp_frame": warp_frame,
+    }
+
+
+def forward_one_frame(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
+                      ref_feature_bl, ref_feature_el, shape_hr, scale_factor,
+                      pad_size):
+    """Two-layer P-frame forward (`LSSVC_net.py:445-528`)."""
+    bl_params = {k[len("base_layer_model."):]: v for k, v in params.items()
+                 if k.startswith("base_layer_model.")}
+    bl = dmc.forward_inter(bl_params, x_bl, ref_frame_bl, ref_feature_bl)
+
+    texture = pad_nhwc(bl["feature"], pad_size)
+    mv_bl_hat = pad_nhwc(bl["mv_hat"], pad_size)
+    y_bl_hat = pad_nhwc(bl["y_hat"], tuple(int(v / 16) for v in pad_size))
+
+    el = el_forward(params, x_el, ref_frame_el, ref_feature_el, texture,
+                    mv_bl_hat, y_bl_hat, shape_hr, scale_factor)
+
+    return {
+        "dpb": {
+            "ref_frame_bl": bl["recon_image"],
+            "ref_feature_bl": bl["feature"],
+            "ref_frame_el": el["recon_el"],
+            "ref_feature_el": el["feature_el"],
+        },
+        "bit_bl": bl["bits"],
+        "bit_el": el["bits_el"],
+        "mv_hat": el["mv_hat"],
+        "warp_frame": el["warp_frame"],
+    }
+
+
+# None DPB entries are empty pytrees — jit re-specializes per structure, so
+# one jitted function covers I-ref / first-P / steady-state variants.
+_fwd_jit = partial(jax.jit, static_argnums=(7, 8, 9))(forward_one_frame)
+
+
+_TRANSPOSED = frozenset(
+    "base_layer_model." + k for k in dmc.DMC.TRANSPOSED_CONV_KEYS
+)
+
+
+class LSSVC(Model):
+    TRANSPOSED_CONV_KEYS = _TRANSPOSED
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self.channel_N = 64
+        self.channel_mv = 64
+        self.shape_hr = (256, 256)
+        self.scale_factor = 2.0
+        self.pad_size = (0, 0, 0, 0)
+        self._coder = None
+        self._bl = None
+
+    @property
+    def base_layer_model(self) -> dmc.DMCExtend:
+        if self._bl is None:
+            bl_params = {k[len("base_layer_model."):]: v
+                         for k, v in self.params.items()
+                         if k.startswith("base_layer_model.")}
+            self._bl = dmc.DMCExtend(bl_params)
+        return self._bl
+
+    def set_scale_information(self, scale, shape_hr, pad_size):
+        self.scale_factor = float(scale)
+        self.shape_hr = tuple(int(v) for v in shape_hr)
+        self.pad_size = tuple(int(v) for v in pad_size)
+
+    def forward_one_frame(self, x_bl, x_el, ref_frame_bl, ref_frame_el,
+                          ref_feature_bl, ref_feature_el):
+        return _fwd_jit(self.params, x_bl, x_el, ref_frame_bl, ref_frame_el,
+                        ref_feature_bl, ref_feature_el, self.shape_hr,
+                        self.scale_factor, self.pad_size)
+
+    def encode_decode(self, x_bl, x_el, dpb, output_path_bl=None,
+                      output_path_el=None, pic_width=None, pic_height=None,
+                      pic_width_bl=None, pic_height_bl=None):
+        if output_path_el is not None:
+            return self.encode_decode_extend(
+                x_bl, x_el, dpb, output_path_bl, output_path_el,
+                pic_width, pic_height, pic_width_bl, pic_height_bl)
+        out = self.forward_one_frame(
+            x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+            dpb["ref_feature_bl"], dpb["ref_feature_el"])
+        return {
+            "dpb": out["dpb"],
+            "bit_bl": float(out["bit_bl"]),
+            "bit_el": float(out["bit_el"]),
+            "encoding_time_EL": 0.0,
+            "decoding_time_EL": 0.0,
+            "encoding_time_BL": 0.0,
+            "decoding_time_BL": 0.0,
+            "mv_hat": out["mv_hat"],
+            "warp_frame": out["warp_frame"],
+        }
+
+
+class LSSVCExtend(LSSVC):
+    """Real-bitstream two-layer codec (`LSSVC_net_extend.py`)."""
+
+    def update(self, force=False):
+        from ..entropy.coder import VideoCoder
+
+        if self._coder is None or force:
+            self._coder = VideoCoder(self.params)
+            self.base_layer_model.update(force=force)
+
+    def compress(self, x_el, dpb):
+        from .lssvc_stream import compress as _compress
+
+        return _compress(self, x_el, dpb)
+
+    def decompress(self, string, height, width, dpb):
+        from .lssvc_stream import decompress as _decompress
+
+        return _decompress(self, string, height, width, dpb)
+
+    def encode_decode_extend(self, x_bl, x_el, dpb, output_path_bl=None,
+                             output_path_el=None, pic_width=None,
+                             pic_height=None, pic_width_bl=None,
+                             pic_height_bl=None):
+        import time
+
+        from ..utils.stream import decode_p, encode_p, filesize
+
+        bl_result = self.base_layer_model.encode_decode_extend(
+            x_bl, dpb, output_path_bl, pic_width_bl, pic_height_bl)
+        layer_dpb = bl_result["dpb"]
+        dpb = dict(dpb)
+        dpb["texture"] = layer_dpb["ref_feature_bl"]
+        dpb["y_hat_bl"] = layer_dpb["y_hat_bl"]
+        dpb["mv_hat_bl"] = layer_dpb["mv_hat_bl"]
+
+        t0 = time.time()
+        encoded = self.compress(x_el, dpb)
+        encode_p(encoded["string"], output_path_el)
+        bits = filesize(output_path_el) * 8
+        jax.block_until_ready(encoded["dpb"]["ref_frame_el"])
+        t1 = time.time()
+        string = decode_p(output_path_el)
+        decoded = self.decompress(string, pic_height, pic_width, dpb)
+        jax.block_until_ready(decoded["dpb"]["ref_frame_el"])
+        t2 = time.time()
+
+        return {
+            "dpb": {
+                "ref_frame_bl": layer_dpb["ref_frame_bl"],
+                "ref_feature_bl": layer_dpb["ref_feature_bl"],
+                "ref_frame_el": decoded["dpb"]["ref_frame_el"],
+                "ref_feature_el": decoded["dpb"]["ref_feature_el"],
+            },
+            "bit_bl": bl_result["bit"],
+            "bit_el": bits,
+            "encoding_time_EL": t1 - t0,
+            "decoding_time_EL": t2 - t1,
+            "encoding_time_BL": bl_result["encoding_time"],
+            "decoding_time_BL": bl_result["decoding_time"],
+            "mv_hat": encoded["dpb"]["mv_hat"],
+            "warp_frame": encoded["dpb"]["warp_frame"],
+        }

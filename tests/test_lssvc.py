@@ -1,0 +1,85 @@
+"""Golden parity: LSSVC two-layer P-frame codec vs the reference torch impl."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from lssvc_tpu.models import LSSVC
+from ref_oracle import import_reference
+
+
+def nhwc(t):
+    return jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def models():
+    import_reference()
+    from src.models.LSSVC_net import LSSVC as RefLSSVC
+
+    torch.manual_seed(0)
+    ref = RefLSSVC()
+    ref.eval()
+    sd = {k: v for k, v in ref.state_dict().items() if "ms_ssim_loss" not in k}
+    ours = LSSVC.from_torch_state_dict(sd)
+    return ref, ours
+
+
+def test_lssvc_forward_parity(models):
+    ref, ours = models
+    torch.manual_seed(1)
+    x_el = torch.rand(1, 3, 128, 128)
+    x_bl = torch.rand(1, 3, 64, 64)
+    ref_frame_bl = torch.rand(1, 3, 64, 64)
+    ref_frame_el = torch.rand(1, 3, 128, 128)
+    ref_feature_bl = torch.rand(1, 64, 64, 64)
+    ref_feature_el = torch.rand(1, 48, 128, 128)
+
+    ref.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    with torch.no_grad():
+        r = ref.forward_one_frame(x_bl, x_el, ref_frame_bl, ref_frame_el,
+                                  ref_feature_bl, ref_feature_el)
+
+    ours.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    o = ours.forward_one_frame(nhwc(x_bl), nhwc(x_el), nhwc(ref_frame_bl),
+                               nhwc(ref_frame_el), nhwc(ref_feature_bl),
+                               nhwc(ref_feature_el))
+
+    assert abs(float(o["bit_bl"]) - r["bit_bl"]) / max(r["bit_bl"], 1) < 5e-4
+    assert abs(float(o["bit_el"]) - r["bit_el"]) / max(r["bit_el"], 1) < 5e-4
+    np.testing.assert_allclose(
+        np.asarray(o["dpb"]["ref_frame_el"]).transpose(0, 3, 1, 2),
+        r["dpb"]["ref_frame_el"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(o["dpb"]["ref_frame_bl"]).transpose(0, 3, 1, 2),
+        r["dpb"]["ref_frame_bl"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(o["mv_hat"]).transpose(0, 3, 1, 2),
+        r["mv_hat"].numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_lssvc_first_p_frame(models):
+    """After an I-frame: BL feature None, EL feature 64-ch (IntraSS output)."""
+    ref, ours = models
+    torch.manual_seed(2)
+    x_el = torch.rand(1, 3, 128, 128)
+    x_bl = torch.rand(1, 3, 64, 64)
+    ref_frame_bl = torch.rand(1, 3, 64, 64)
+    ref_frame_el = torch.rand(1, 3, 128, 128)
+    ref_feature_el = torch.rand(1, 64, 128, 128)  # first-P adaptor path
+
+    ref.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    with torch.no_grad():
+        r = ref.forward_one_frame(x_bl, x_el, ref_frame_bl, ref_frame_el,
+                                  None, ref_feature_el)
+
+    ours.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    o = ours.forward_one_frame(nhwc(x_bl), nhwc(x_el), nhwc(ref_frame_bl),
+                               nhwc(ref_frame_el), None, nhwc(ref_feature_el))
+
+    assert abs(float(o["bit_el"]) - r["bit_el"]) / max(r["bit_el"], 1) < 5e-4
+    np.testing.assert_allclose(
+        np.asarray(o["dpb"]["ref_frame_el"]).transpose(0, 3, 1, 2),
+        r["dpb"]["ref_frame_el"].numpy(), atol=5e-4, rtol=1e-3)
