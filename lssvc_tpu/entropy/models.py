@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.nn import ste_round
+
 LOG2 = math.log(2.0)
 
 
@@ -102,7 +104,7 @@ def gaussian_conditional_likelihood(inputs, scales, means=None,
 
 def gaussian_conditional_dequantize(inputs, means):
     """Eval-mode quantization: round(x - means) + means."""
-    return jnp.round(inputs - means) + means
+    return ste_round(inputs - means) + means
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +136,7 @@ def entropy_bottleneck_forward(p, x, filters=(3, 3, 3, 3),
     values = jnp.transpose(x, (3, 0, 1, 2)).reshape(c, 1, -1)
 
     med = medians[:, None, None]
-    outputs = jnp.round(values - med) + med
+    outputs = ste_round(values - med) + med
 
     lower = entropy_bottleneck_logits(p, outputs - 0.5, filters)
     upper = entropy_bottleneck_logits(p, outputs + 0.5, filters)

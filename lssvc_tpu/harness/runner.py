@@ -1,0 +1,280 @@
+"""Per-sequence evaluation loop (the reference harness's `run_test` /
+`encode_one`, `/root/reference/test.py:121-632`, rebuilt around device-
+resident state).
+
+The hierarchical GOP driver keeps the decoded-picture buffer on device
+between frames; host work per frame is limited to YUV I/O, color conversion
+and metric computation.  Two-layer flow per frame: read EL YUV -> RGB ->
+pad -> MATLAB-bicubic downsample to BL -> I or P coding -> metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.color import rgb_to_ycbcr420, ycbcr420_to_rgb
+from ..utils.io import YUVReader
+from ..utils.metrics import calc_msssim, mse_to_psnr
+from ..utils.msssim_rgb import ms_ssim_rgb
+from ..utils.padding import get_interlayer_padding, inverse_padding_size
+from ..utils.resize import imresize
+from ..ops import pad_nhwc
+from .results import FrameMetrics, aggregate_layer_log
+
+RATIO_FACTORS = {"x1": 1.0, "x1_5": 1.5, "x2": 2.0, "x3": 3.0, "x4": 4.0}
+
+
+def _to_device_nhwc(rgb_chw: np.ndarray):
+    return jnp.asarray(rgb_chw[None].transpose(0, 2, 3, 1))
+
+
+def _to_host_chw(x_nhwc) -> np.ndarray:
+    return np.asarray(x_nhwc)[0].transpose(2, 0, 1)
+
+
+def _psnr_rgb(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a - b) ** 2))
+    return mse_to_psnr(mse, 1)
+
+
+def _layer_metrics(bit, rgb_ref, y_ref, u_ref, v_ref, x_hat_chw, win_size):
+    rgb_psnr = _psnr_rgb(rgb_ref, x_hat_chw)
+    rgb_ms = ms_ssim_rgb(rgb_ref, x_hat_chw, win_size=win_size, data_range=1)
+    y_rec, uv_rec = rgb_to_ycbcr420(x_hat_chw)
+    y_rec = y_rec[0]
+    u_rec, v_rec = uv_rec[0], uv_rec[1]
+    y_psnr = mse_to_psnr(float(np.mean((y_rec - y_ref) ** 2)), 1)
+    u_psnr = mse_to_psnr(float(np.mean((u_rec - u_ref) ** 2)), 1)
+    v_psnr = mse_to_psnr(float(np.mean((v_rec - v_ref) ** 2)), 1)
+    yuv_psnr = (6 * y_psnr + u_psnr + v_psnr) / 8
+    msssim = (6 * calc_msssim(y_ref, y_rec, data_range=1)
+              + calc_msssim(u_ref, u_rec, data_range=1)
+              + calc_msssim(v_ref, v_rec, data_range=1)) / 8
+    return FrameMetrics(bit, yuv_psnr, rgb_psnr, y_psnr, u_psnr, v_psnr,
+                        msssim, rgb_ms)
+
+
+def run_test(video_net, i_frame_net, args_dict, device=None):
+    """Evaluate one (sequence, ratio, model) task.
+
+    Returns (log_BL, log_EL, log_FL) dicts in the reference schema.
+    """
+    frame_num = args_dict["frame_num"]
+    gop_size = args_dict["gop_size"]
+    write_stream = bool(args_dict.get("write_stream"))
+    save_decoded_frame = bool(args_dict.get("save_decoded_frame"))
+    save_decoded_mv = bool(args_dict.get("save_decoded_mv"))
+    save_warp_frame = bool(args_dict.get("save_warp_frame"))
+    verbose = int(args_dict.get("verbose", 0))
+    ratio = args_dict["ratio"]
+    scale_factor = RATIO_FACTORS[ratio]
+
+    yuv_path_el = args_dict["yuv_path_el"]
+    height_el = args_dict["x1"]["height"]
+    width_el = args_dict["x1"]["width"]
+
+    pad_info = get_interlayer_padding(H_HR=height_el, W_HR=width_el,
+                                      ratio=scale_factor)
+    p_size_el = pad_info["P_HR"]
+    p_size_bl = pad_info["P_LR"]
+    hb_pad, wb_pad = pad_info["LR_padded_size"]
+    he_pad, we_pad = pad_info["HR_padded_size"]
+    hb, wb = pad_info["LR_size"]
+    he, we = pad_info["HR_size"]
+    pixel_bl = hb * wb
+    pixel_el = he * we
+    win_size_bl = 7 if hb <= 160 else 11
+    win_size_el = 7 if he <= 160 else 11
+
+    if write_stream:
+        os.makedirs(os.path.join(args_dict["bin_folder"], ratio, "BL"),
+                    exist_ok=True)
+        os.makedirs(os.path.join(args_dict["bin_folder"], ratio, "EL"),
+                    exist_ok=True)
+
+    reader = YUVReader(yuv_path_el, we, he)
+    frames_bl, frames_el = [], []
+    frame_types = []
+    enc_bl = dec_bl = enc_el = dec_el = 0.0
+    dpb = None
+    start_time = time.time()
+
+    for frame_idx in range(frame_num):
+        y_el, uv_el = reader.read_one_frame()
+        rgb_el = ycbcr420_to_rgb(y_el, uv_el)
+        y_el_p, u_el_p, v_el_p = y_el[0], uv_el[0], uv_el[1]
+
+        x_el_dev = _to_device_nhwc(rgb_el)
+        x_el_padded = pad_nhwc(x_el_dev, p_size_el)
+        x_bl_padded = jnp.clip(
+            imresize(jnp.transpose(x_el_padded, (0, 3, 1, 2)),
+                     sizes=(hb_pad, wb_pad)), 0, 1)
+        x_bl_padded = jnp.transpose(x_bl_padded, (0, 2, 3, 1))
+        rgb_bl_dev = pad_nhwc(x_bl_padded, inverse_padding_size(p_size_bl))
+        rgb_bl = _to_host_chw(rgb_bl_dev)
+        y_bl_full, uv_bl = rgb_to_ycbcr420(rgb_bl)
+        y_bl_p, u_bl_p, v_bl_p = y_bl_full[0], uv_bl[0], uv_bl[1]
+
+        i_frame_net.set_scale_information(scale_factor, (he_pad, we_pad),
+                                          (0, 0, 0, 0))
+        if video_net is not None:
+            video_net.set_scale_information(scale_factor, (he_pad, we_pad),
+                                            (0, 0, 0, 0))
+
+        bin_bl = (os.path.join(args_dict["bin_folder"], ratio, "BL",
+                               f"{frame_idx}.bin") if write_stream else None)
+        bin_el = (os.path.join(args_dict["bin_folder"], ratio, "EL",
+                               f"{frame_idx}.bin") if write_stream else None)
+
+        mv_el = warp_frame_el = None
+        if frame_idx % gop_size == 0:
+            result = i_frame_net.encode_decode(
+                x_bl_padded, x_el_padded, bin_bl, bin_el,
+                pic_height_bl=hb_pad, pic_width_bl=wb_pad,
+                pic_height_el=he_pad, pic_width_el=we_pad)
+            dpb = {
+                "ref_frame_bl": result["x_hat_bl"],
+                "ref_frame_el": result["x_hat_el"],
+                "ref_feature_bl": None,
+                "ref_feature_el": result["feature_el"],
+            }
+            bit_bl = result["bit_bl"]
+            bit_el = result["bit_el"]
+            frame_types.append(0)
+        else:
+            result = video_net.encode_decode(
+                x_bl_padded, x_el_padded, dpb, bin_bl, bin_el,
+                pic_width=we_pad, pic_height=he_pad,
+                pic_width_bl=wb_pad, pic_height_bl=hb_pad)
+            dpb = result["dpb"]
+            mv_el = result.get("mv_hat")
+            warp_frame_el = result.get("warp_frame")
+            bit_bl = result["bit_bl"]
+            bit_el = result["bit_el"]
+            frame_types.append(1)
+            enc_bl += result.get("encoding_time_BL", 0.0)
+            dec_bl += result.get("decoding_time_BL", 0.0)
+            enc_el += result.get("encoding_time_EL", 0.0)
+            dec_el += result.get("decoding_time_EL", 0.0)
+
+        ref_bl = jnp.clip(dpb["ref_frame_bl"], 0, 1)
+        ref_el = jnp.clip(dpb["ref_frame_el"], 0, 1)
+        x_hat_bl = _to_host_chw(pad_nhwc(ref_bl, inverse_padding_size(p_size_bl)))
+        x_hat_el = _to_host_chw(pad_nhwc(ref_el, inverse_padding_size(p_size_el)))
+
+        frames_bl.append(_layer_metrics(bit_bl, rgb_bl, y_bl_p, u_bl_p,
+                                        v_bl_p, x_hat_bl, win_size_bl))
+        frames_el.append(_layer_metrics(bit_el, rgb_el, y_el_p, u_el_p,
+                                        v_el_p, x_hat_el, win_size_el))
+        if verbose and warp_frame_el is not None:
+            wf = _to_host_chw(pad_nhwc(jnp.clip(warp_frame_el, 0, 1),
+                                       inverse_padding_size(p_size_el)))
+            print("warp psnr:", _psnr_rgb(wf, rgb_el))
+
+        if save_decoded_frame:
+            _save_frame_artifacts(args_dict, ratio, frame_idx, x_hat_bl,
+                                  x_hat_el)
+        if save_decoded_mv and mv_el is not None:
+            _save_mv_artifact(args_dict, ratio, frame_idx, mv_el)
+        if save_warp_frame and warp_frame_el is not None:
+            _save_warp_artifact(args_dict, ratio, frame_idx, warp_frame_el,
+                                p_size_el)
+
+    reader.close()
+    test_time = time.time() - start_time
+
+    log_bl = aggregate_layer_log(frames_bl, frame_types, pixel_bl, test_time,
+                                 enc_bl, dec_bl)
+    log_el = aggregate_layer_log(frames_el, frame_types, pixel_el, test_time,
+                                 enc_el, dec_el)
+    bits_fl = [b.bit + e.bit for b, e in zip(frames_bl, frames_el)]
+    log_fl = aggregate_layer_log(frames_el, frame_types, pixel_el, test_time,
+                                 enc_bl + enc_el, dec_bl + dec_el,
+                                 include_yuv_list=False, bits_override=bits_fl)
+    return log_bl, log_el, log_fl
+
+
+def _save_frame_artifacts(args_dict, ratio, frame_idx, x_hat_bl, x_hat_el):
+    from PIL import Image
+
+    for tag, img in (("BL", x_hat_bl), ("EL", x_hat_el)):
+        folder = os.path.join(args_dict["decoded_frame_folder"], ratio, tag)
+        os.makedirs(folder, exist_ok=True)
+        arr = np.clip(np.rint(img.transpose(1, 2, 0) * 255), 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(folder, f"{frame_idx}.png"))
+
+
+def _save_mv_artifact(args_dict, ratio, frame_idx, mv_el):
+    from PIL import Image
+
+    from ..utils.flow_vis import flow_to_image
+
+    folder = os.path.join(args_dict["decoded_mv_folder"], ratio)
+    os.makedirs(folder, exist_ok=True)
+    mv = np.asarray(mv_el)[0]  # (H, W, 2) NHWC already
+    img = flow_to_image(mv)
+    Image.fromarray(img).save(os.path.join(folder, f"{frame_idx}.png"))
+
+
+def _save_warp_artifact(args_dict, ratio, frame_idx, warp_frame, p_size_el):
+    from PIL import Image
+
+    folder = os.path.join(args_dict["warp_frame_folder"], ratio)
+    os.makedirs(folder, exist_ok=True)
+    wf = np.asarray(pad_nhwc(jnp.clip(warp_frame, 0, 1),
+                             inverse_padding_size(p_size_el)))[0]
+    arr = np.clip(np.rint(wf * 255), 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(os.path.join(folder, f"{frame_idx}.png"))
+
+
+def encode_one(args_dict, device=None):
+    """Build models from checkpoints and run one task
+    (`test.py:540-632`)."""
+    from ..convert import load_torch_checkpoint
+    from ..models import IntraSS
+    from ..models.lssvc import LSSVCExtend
+
+    i_frame_net = IntraSS.from_torch_state_dict(
+        load_torch_checkpoint(args_dict["i_frame_model_path"]))
+
+    if args_dict.get("force_intra"):
+        video_net = None
+    else:
+        video_net = LSSVCExtend.from_torch_state_dict(
+            load_torch_checkpoint(args_dict["video_model_path"]))
+
+    if args_dict.get("write_stream"):
+        if video_net is not None:
+            video_net.update(force=True)
+        i_frame_net.update(force=True)
+
+    sub_dir_name = args_dict["video_path"]
+    args_dict = dict(args_dict)
+    args_dict["yuv_path_el"] = os.path.join(args_dict["dataset_path"],
+                                            sub_dir_name, "x1.yuv")
+    args_dict["gop_size"] = args_dict["gop"]
+    args_dict["bin_folder"] = os.path.join(
+        args_dict.get("stream_path", "out_bin"), sub_dir_name,
+        str(args_dict.get("model_idx", 0)))
+    for key, flag in (("decoded_frame_folder", "decoded_frame_path"),
+                      ("decoded_mv_folder", "decoded_mv_path"),
+                      ("warp_frame_folder", "warp_frame_path")):
+        args_dict[key] = os.path.join(
+            args_dict.get(flag, key), sub_dir_name,
+            str(args_dict.get("model_idx", 0)))
+
+    result_bl, result_el, result_fl = run_test(video_net, i_frame_net,
+                                               args_dict, device)
+    name = (f"{os.path.basename(args_dict.get('video_model_path', 'intra'))}"
+            f"_{sub_dir_name}")
+    for res in (result_bl, result_el, result_fl):
+        res["name"] = name
+        res["ds_name"] = args_dict["ds_name"]
+        res["video_path"] = args_dict["video_path"]
+        res["ratio"] = args_dict["ratio"]
+    return result_bl, result_el, result_fl

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
-from ..ops import flow_warp, leaky_relu
+from ..ops import flow_warp, leaky_relu, ste_round
 from .base import Model
 from .components import (
     conv,
@@ -110,12 +110,12 @@ def forward_inter(params, x, ref_frame, ref_feature):
     est_mv = me_spynet(p.sub("optic_flow"), x, ref_frame)
     mv_y = mv_encoder(p.sub("mv_encoder"), est_mv)
     mv_z = hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
-    mv_z_hat = jnp.round(mv_z)
+    mv_z_hat = ste_round(mv_z)
     mv_params = hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
     half = mv_params.shape[-1] // 2
     mv_scales_hat = mv_params[..., :half]
     mv_means_hat = mv_params[..., half:]
-    mv_y_q = jnp.round(mv_y - mv_means_hat)
+    mv_y_q = ste_round(mv_y - mv_means_hat)
     mv_y_hat = mv_y_q + mv_means_hat
     mv_hat = mv_decoder(p.sub("mv_decoder"), mv_y_hat)
 
@@ -123,7 +123,7 @@ def forward_inter(params, x, ref_frame, ref_feature):
 
     y = gdn_res_encoder(p.sub("res_encoder"), x, c1, c2, c3)
     z = hyper_encoder(p.sub("res_prior_encoder"), y)
-    z_hat = jnp.round(z)
+    z_hat = ste_round(z)
     hierarchical = hyper_decoder(p.sub("res_prior_decoder"), z_hat)
     temporal = temporal_prior_encoder_gdn(p.sub("temporal_prior_encoder"),
                                           c1, c2, c3)
@@ -133,7 +133,7 @@ def forward_inter(params, x, ref_frame, ref_feature):
     half = gaussian_params.shape[-1] // 2
     scales_hat = gaussian_params[..., :half]
     means_hat = gaussian_params[..., half:]
-    y_q = jnp.round(y - means_hat)
+    y_q = ste_round(y - means_hat)
     y_hat = y_q + means_hat
 
     recon_feature = gdn_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)

@@ -1,0 +1,144 @@
+"""DMCExtend real-bitstream paths.
+
+Behavioral contract: `/root/reference/src/models/dmc_net_extend.py:55-147` —
+stream order mv_z, mv_y, z, y in ONE buffered rANS stream per frame.
+
+TPU-first structure: the encoder runs one jitted program that produces every
+symbol/index plane, which then cross to the host once each for entropy
+coding.  The decoder is split into 4 jitted stages at the unavoidable
+entropy-decode boundaries (each decoded tensor conditions the next priors);
+intermediate activations stay on device between stages.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert import P
+from ..entropy.models import build_indexes_video
+from ..utils.stream import get_downsampled_shape
+from . import dmc
+from .components import temporal_prior_encoder_gdn
+from .dmc import (
+    entropy_parameters,
+    hyper_decoder,
+    motion_compensation,
+    mv_decoder,
+)
+
+
+@jax.jit
+def _encode_planes(params, x, ref_frame, ref_feature):
+    out = dmc.forward_inter(params, x, ref_frame, ref_feature)
+    return {
+        "mv_z_hat": out["mv_z_hat"].astype(jnp.int32),
+        "mv_y_q": out["mv_y_q"].astype(jnp.int32),
+        "mv_idx": build_indexes_video(out["mv_scales_hat"]),
+        "z_hat": out["z_hat"].astype(jnp.int32),
+        "y_q": out["y_q"].astype(jnp.int32),
+        "y_idx": build_indexes_video(out["scales_hat"]),
+        "recon_image": out["recon_image"],
+        "feature": out["feature"],
+        "y_hat": out["y_hat"],
+        "mv_hat": out["mv_hat"],
+    }
+
+
+def compress(model, x, dpb):
+    coder = model._coder
+    planes = _encode_planes(model.params, x, dpb["ref_frame_bl"],
+                            dpb["ref_feature_bl"])
+    coder.reset_encoder()
+    coder.encode_factorized(planes["mv_z_hat"], coder.z_mv_table)
+    coder.encode_gaussian(planes["mv_y_q"], planes["mv_idx"])
+    coder.encode_factorized(planes["z_hat"], coder.z_table)
+    coder.encode_gaussian(planes["y_q"], planes["y_idx"])
+    string = coder.flush()
+    return {
+        "string": string,
+        "dpb": {
+            # encoder-side recon is unclamped (ref clamps only on decode,
+            # dmc_net_extend.py:138) — callers use the decoded DPB anyway
+            "ref_frame_bl": planes["recon_image"],
+            "ref_feature_bl": planes["feature"],
+            "y_hat_bl": planes["y_hat"],
+            "mv_hat_bl": planes["mv_hat"],
+        },
+    }
+
+
+@jax.jit
+def _dec_stage_mv_prior(params, mv_z_hat):
+    p = P(params)
+    mv_params = hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
+    half = mv_params.shape[-1] // 2
+    scales, means = mv_params[..., :half], mv_params[..., half:]
+    return build_indexes_video(scales), means
+
+
+@jax.jit
+def _dec_stage_contexts(params, mv_y_q, mv_means, ref_frame, ref_feature):
+    p = P(params)
+    mv_y_hat = mv_y_q + mv_means
+    mv_hat = mv_decoder(p.sub("mv_decoder"), mv_y_hat)
+    c1, c2, c3, _ = motion_compensation(p, ref_frame, ref_feature, mv_hat)
+    return mv_hat, c1, c2, c3
+
+
+@jax.jit
+def _dec_stage_y_prior(params, z_hat, c1, c2, c3):
+    p = P(params)
+    hierarchical = hyper_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder_gdn(p.sub("temporal_prior_encoder"),
+                                          c1, c2, c3)
+    gaussian_params = entropy_parameters(
+        p.sub("res_entropy_parameter"),
+        jnp.concatenate([temporal, hierarchical], axis=-1))
+    half = gaussian_params.shape[-1] // 2
+    scales, means = gaussian_params[..., :half], gaussian_params[..., half:]
+    return build_indexes_video(scales), means
+
+
+@jax.jit
+def _dec_stage_recon(params, y_q, means, c1, c2, c3):
+    from .components import gdn_res_decoder, recon_generation_simple
+
+    p = P(params)
+    y_hat = y_q + means
+    recon_feature = gdn_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon = recon_generation_simple(p.sub("recon_generation_net"),
+                                             recon_feature, c1)
+    return jnp.clip(recon, 0.0, 1.0), feature, y_hat
+
+
+def decompress(model, string, height, width, dpb):
+    coder = model._coder
+    coder.set_stream(string)
+    zh, zw = get_downsampled_shape(height, width, 64)
+
+    mv_z = coder.decode_factorized((1, zh, zw, model.channel_N),
+                                   coder.z_mv_table)
+    mv_idx, mv_means = _dec_stage_mv_prior(model.params, jnp.asarray(mv_z))
+    mv_y_q = coder.decode_gaussian(np.asarray(mv_idx))
+    mv_hat, c1, c2, c3 = _dec_stage_contexts(
+        model.params, jnp.asarray(mv_y_q), mv_means,
+        dpb["ref_frame_bl"], dpb["ref_feature_bl"])
+
+    z = coder.decode_factorized((1, zh, zw, model.channel_N), coder.z_table)
+    y_idx, y_means = _dec_stage_y_prior(model.params, jnp.asarray(z),
+                                        c1, c2, c3)
+    y_q = coder.decode_gaussian(np.asarray(y_idx))
+    recon, feature, y_hat = _dec_stage_recon(model.params, jnp.asarray(y_q),
+                                             y_means, c1, c2, c3)
+    return {
+        "dpb": {
+            "ref_frame_bl": recon,
+            "ref_feature_bl": feature,
+            "y_hat_bl": y_hat,
+            "mv_hat_bl": mv_hat,
+        }
+    }

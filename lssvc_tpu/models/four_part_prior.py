@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import ste_round
 from .components import depth_conv_block
 from .lssvc_blocks import conv
 
@@ -56,7 +57,7 @@ def _process(y_q_quarter, scales_q, means_q, mask):
     scales_hat = scales_q * mask
     means_hat = means_q * mask
     y_res = (y_q_quarter - means_hat) * mask
-    y_q = jnp.round(y_res)
+    y_q = ste_round(y_res)
     y_hat = y_q + means_hat
     return y_res, y_q, y_hat, scales_hat
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..convert import P
+from ..ops import ste_round
 from ..entropy.models import (
     entropy_bottleneck_forward,
     gaussian_conditional_likelihood,
@@ -92,7 +93,7 @@ def hyper_synthesis_quantize(params, y, z):
     n_half = gaussian_params.shape[-1] // 2
     scales_hat = gaussian_params[..., :n_half]
     means_hat = gaussian_params[..., n_half:]
-    y_hat = jnp.round(y - means_hat) + means_hat
+    y_hat = ste_round(y - means_hat) + means_hat
     y_lik = gaussian_conditional_likelihood(y_hat, scales_hat, means_hat)
     return y_hat, z_hat, y_lik, z_lik, scales_hat, means_hat
 
@@ -186,12 +187,30 @@ class IntraNoAR(Model):
             self._coder = IntraCoder(self.params)
 
     def compress(self, x=None, y=None, z=None):
+        """rANS-encode (y, z) -> {'strings': [y_strings, z_strings], 'shape'}
+        (`priors.py:420-437`)."""
+        from ..entropy.models import build_indexes_img
+
         if x is not None:
             y, z = self.get_y_z(x)
-        return self._coder.compress(self.params, y, z)
+        z_strings = self._coder.eb_compress(z)
+        hw = (z.shape[1], z.shape[2])
+        z_hat = jnp.asarray(self._coder.eb_decompress(z_strings, hw))
+        scales_hat, means_hat = jax.jit(_hyper_params)(self.params, z_hat)
+        indexes = build_indexes_img(scales_hat)
+        y_strings = self._coder.gc_compress(y, indexes, means_hat)
+        return {"strings": [y_strings, z_strings], "shape": hw}
 
     def decompress(self, strings, shape):
-        return self._coder.decompress(self.params, strings, shape)
+        from ..entropy.models import build_indexes_img
+
+        z_hat = jnp.asarray(self._coder.eb_decompress(strings[1], shape))
+        scales_hat, means_hat = jax.jit(_hyper_params)(self.params, z_hat)
+        indexes = build_indexes_img(scales_hat)
+        y_hat = jnp.asarray(self._coder.gc_decompress(strings[0], indexes,
+                                                      means_hat))
+        x_hat = jax.jit(_synthesis)(self.params, y_hat)
+        return {"x_hat": x_hat, "y_hat": y_hat}
 
     def _stream_encode_decode(self, y, z, output_path, pic_width, pic_height):
         from ..utils.stream import decode_i, encode_i, filesize, get_downsampled_shape
@@ -205,6 +224,16 @@ class IntraNoAR(Model):
         shape = get_downsampled_shape(height, width, 64)
         dec = self.decompress([[y_string], [z_string]], shape)
         return {"bit": bit, "x_hat": dec["x_hat"], "y_hat": dec["y_hat"]}
+
+
+def _hyper_params(params, z_hat):
+    gaussian_params = h_s(P(params).sub("h_s"), z_hat)
+    n_half = gaussian_params.shape[-1] // 2
+    return gaussian_params[..., :n_half], gaussian_params[..., n_half:]
+
+
+def _synthesis(params, y_hat):
+    return g_s(P(params).sub("g_s"), y_hat)
 
 
 def _recon_from_yz(params, y, z):

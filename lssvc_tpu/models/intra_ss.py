@@ -22,7 +22,7 @@ from ..entropy.models import (
     entropy_bottleneck_forward,
     gaussian_conditional_likelihood,
 )
-from ..ops import bilinear_resize, leaky_relu, pad_nhwc
+from ..ops import bilinear_resize, leaky_relu, pad_nhwc, ste_round
 from .base import Model
 from . import intra_noar
 from .components import (
@@ -127,7 +127,7 @@ def forward(params, x_bl, x_el, shape_hr, pad_size):
     p = P(params)
     z_hat, z_lik = entropy_bottleneck_forward(p.sub("entropy_bottleneck"), z)
     scales_hat, means_hat = el_priors(params, z_hat, y_hat_bl, c3, shape_hr)
-    y_hat = jnp.round(y - means_hat) + means_hat
+    y_hat = ste_round(y - means_hat) + means_hat
     y_lik = gaussian_conditional_likelihood(y_hat, scales_hat, means_hat)
     feature, x_hat = el_synthesis(params, y_hat, c1, c2, c3)
     bit_el = (jnp.sum(jnp.log(y_lik)) + jnp.sum(jnp.log(z_lik))) / (-LOG2)

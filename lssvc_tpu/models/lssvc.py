@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
-from ..ops import flow_warp, leaky_relu, pad_nhwc
+from ..ops import flow_warp, leaky_relu, pad_nhwc, ste_round
 from .base import Model
 from . import dmc
 from .components import (
@@ -161,7 +161,7 @@ def el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor):
     mv = me_spynet(p.sub("optic_flow"), x_el, ref_el)
     mv_y = mv_res_encoder(p.sub("mv_encoder"), mv, mv_ctx)
     mv_z = mv_hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
-    mv_z_hat = jnp.round(mv_z)
+    mv_z_hat = ste_round(mv_z)
     mv_hyper_prior = mv_hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
     mv_params = mv_prior_fusion(
         p.sub("mv_prior_fusion"),
@@ -169,7 +169,7 @@ def el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor):
     half = mv_params.shape[-1] // 2
     mv_scales_hat = mv_params[..., :half]
     mv_means_hat = mv_params[..., half:]
-    mv_y_q = jnp.round(mv_y - mv_means_hat)
+    mv_y_q = ste_round(mv_y - mv_means_hat)
     mv_y_hat = mv_y_q + mv_means_hat
     mv_hat = mv_res_decoder(p.sub("mv_decoder"), mv_y_hat, mv_ctx)
     return {
@@ -192,7 +192,7 @@ def el_forward(params, x_el, ref_el, feature_el, texture_bl, mv_bl_hat,
 
     y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
     z = res_prior_encoder(p.sub("res_prior_encoder"), y)
-    z_hat = jnp.round(z)
+    z_hat = ste_round(z)
     hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
     temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
     layer_prior = layer_prior_resampler(

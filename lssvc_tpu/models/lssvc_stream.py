@@ -1,0 +1,261 @@
+"""LSSVCExtend real-bitstream paths (enhancement layer).
+
+Behavioral contract: `/root/reference/src/models/LSSVC_net_extend.py:24-263`
+— stream order mv_z, mv_y, z, then the four checkerboard latent passes
+y_q_w_0..3, all in one buffered rANS stream.
+
+Encoder: one jitted program emits every symbol/index plane.  Decoder: jitted
+stages split at entropy-decode boundaries; the four-part prior decode
+alternates (device scale-plane computation) <-> (host rANS decode), with all
+other activations resident on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert import P
+from ..entropy.models import build_indexes_video
+from ..ops import pad_nhwc
+from ..utils.stream import get_downsampled_shape
+from .four_part_prior import (
+    PASS_MASKS,
+    checkerboard_masks,
+    forward_four_part_prior,
+    spatial_prior_net,
+)
+from .lssvc import (
+    el_motion_coding,
+    el_recon_generation,
+    el_res_decoder,
+    el_res_encoder,
+    hybrid_context_fusion,
+    mv_context_transformer,
+    mv_ctx_prior_encoder,
+    mv_hyper_decoder,
+    mv_prior_fusion,
+    mv_res_decoder,
+    res_prior_decoder,
+    res_prior_encoder,
+    temporal_prior_encoder,
+)
+from .lssvc_blocks import layer_prior_resampler, mv_resampler, prior_fusion
+
+
+def _depad(dpb, pad_size):
+    texture = pad_nhwc(dpb["texture"], pad_size)
+    mv_bl_hat = pad_nhwc(dpb["mv_hat_bl"], pad_size)
+    y_bl_hat = pad_nhwc(dpb["y_hat_bl"], tuple(int(v / 16) for v in pad_size))
+    return texture, mv_bl_hat, y_bl_hat
+
+
+def _encode_planes(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
+                   y_bl_hat, shape_hr, scale_factor):
+    p = P(params)
+    mc = el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor)
+    c1, c2, c3, warp_frame = hybrid_context_fusion(
+        p, texture, mc["mv_hat"], ref_el, feature_el, shape_hr)
+
+    y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
+    z = res_prior_encoder(p.sub("res_prior_encoder"), y)
+    z_hat = jnp.round(z)
+    hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
+    layer_prior = layer_prior_resampler(
+        p.sub("layer_prior_resampler"), y_bl_hat,
+        (shape_hr[0] // 16, shape_hr[1] // 16))
+    common_params = prior_fusion(p.sub("prior_fusion_net"), hierarchical,
+                                 temporal, layer_prior)
+
+    write_syms, write_scales, y_hat = forward_four_part_prior(
+        p, y, common_params, write=True)
+
+    recon_feature = el_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon_el = el_recon_generation(p.sub("recon_generation_net"),
+                                            recon_feature, c1)
+    return {
+        "mv_z_hat": mc["mv_z_hat"].astype(jnp.int32),
+        "mv_y_q": mc["mv_y_q"].astype(jnp.int32),
+        "mv_idx": build_indexes_video(mc["mv_scales_hat"]),
+        "z_hat": z_hat.astype(jnp.int32),
+        "y_syms": [s.astype(jnp.int32) for s in write_syms],
+        "y_idxs": [build_indexes_video(s) for s in write_scales],
+        "recon_el": recon_el,
+        "feature": feature,
+        "mv_hat": mc["mv_hat"],
+        "warp_frame": warp_frame,
+    }
+
+
+_encode_planes_jit = jax.jit(_encode_planes, static_argnums=(7, 8))
+
+
+def compress(model, x_el, dpb):
+    coder = model._coder
+    texture, mv_bl_hat, y_bl_hat = _depad(dpb, model.pad_size)
+    planes = _encode_planes_jit(
+        model.params, x_el, dpb["ref_frame_el"], dpb["ref_feature_el"],
+        texture, mv_bl_hat, y_bl_hat, model.shape_hr, model.scale_factor)
+
+    coder.reset_encoder()
+    coder.encode_factorized(planes["mv_z_hat"], coder.z_mv_table)
+    coder.encode_gaussian(planes["mv_y_q"], planes["mv_idx"])
+    coder.encode_factorized(planes["z_hat"], coder.z_table)
+    for sym, idx in zip(planes["y_syms"], planes["y_idxs"]):
+        coder.encode_gaussian(sym, idx)
+    string = coder.flush()
+    return {
+        "string": string,
+        "dpb": {
+            "ref_frame_el": planes["recon_el"],
+            "ref_feature_el": planes["feature"],
+            "warp_frame": planes["warp_frame"],
+            "mv_hat": planes["mv_hat"],
+        },
+    }
+
+
+# --- decoder stages ---------------------------------------------------------
+
+def _dec_mv_setup(params, mv_bl_hat, shape_hr, scale_factor):
+    p = P(params)
+    mv_upsample = mv_resampler(p.sub("mv_resampler"), mv_bl_hat, shape_hr,
+                               scale_factor)
+    mv_ctx_prior = mv_ctx_prior_encoder(p.sub("mv_ctx_prior_encoder"),
+                                        mv_upsample)
+    mv_ctx = mv_context_transformer(p.sub("mv_ctx_transform"), mv_upsample)
+    return mv_ctx, mv_ctx_prior
+
+
+_dec_mv_setup_jit = jax.jit(_dec_mv_setup, static_argnums=(2, 3))
+
+
+@jax.jit
+def _dec_mv_prior(params, mv_z_hat, mv_ctx_prior):
+    p = P(params)
+    hyper = mv_hyper_decoder(p.sub("mv_prior_decoder"), mv_z_hat)
+    mv_params = mv_prior_fusion(
+        p.sub("mv_prior_fusion"),
+        jnp.concatenate([hyper, mv_ctx_prior], axis=-1))
+    half = mv_params.shape[-1] // 2
+    scales, means = mv_params[..., :half], mv_params[..., half:]
+    return build_indexes_video(scales), means
+
+
+def _dec_contexts(params, mv_y_q, mv_means, mv_ctx, texture, ref_el,
+                  feature_el, shape_hr):
+    p = P(params)
+    mv_y_hat = mv_y_q + mv_means
+    mv_hat = mv_res_decoder(p.sub("mv_decoder"), mv_y_hat, mv_ctx)
+    c1, c2, c3, _ = hybrid_context_fusion(p, texture, mv_hat, ref_el,
+                                          feature_el, shape_hr)
+    return mv_hat, c1, c2, c3
+
+
+_dec_contexts_jit = jax.jit(_dec_contexts, static_argnums=(7,))
+
+
+def _dec_common_params(params, z_hat, c3, y_bl_hat, shape_hr):
+    p = P(params)
+    hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
+    layer_prior = layer_prior_resampler(
+        p.sub("layer_prior_resampler"), y_bl_hat,
+        (shape_hr[0] // 16, shape_hr[1] // 16))
+    return prior_fusion(p.sub("prior_fusion_net"), hierarchical, temporal,
+                        layer_prior)
+
+
+_dec_common_params_jit = jax.jit(_dec_common_params, static_argnums=(4,))
+
+
+@jax.jit
+def _dec_pass0_scales(params, common_params):
+    half = common_params.shape[-1] // 2
+    scales = common_params[..., :half]
+    _, h, w, _ = scales.shape
+    masks = checkerboard_masks(h, w)
+    scales_4 = jnp.split(scales, 4, axis=-1)
+    scales_r = sum(scales_4[q] * masks[m] for q, m in enumerate(PASS_MASKS[0]))
+    return build_indexes_video(scales_r)
+
+
+def _dec_pass_update(params, pass_idx, y_q_r, y_hat_so_far, common_params,
+                     means_4_stacked):
+    """Fold decoded plane into y_hat and compute next pass's scale indexes."""
+    p = P(params)
+    _, h, w, _ = y_q_r.shape
+    masks = checkerboard_masks(h, w)
+    mask_ids = PASS_MASKS[pass_idx]
+    means_4 = [means_4_stacked[i] for i in range(4)]
+    step = jnp.concatenate(
+        [(y_q_r + means_4[q]) * masks[m] for q, m in enumerate(mask_ids)],
+        axis=-1)
+    y_hat_so_far = step if y_hat_so_far is None else y_hat_so_far + step
+
+    if pass_idx == 3:
+        return y_hat_so_far, None, None
+    nxt = pass_idx + 1
+    pr = spatial_prior_net(
+        p, p.sub(f"y_spatial_prior_adaptor_{nxt}"),
+        jnp.concatenate([y_hat_so_far, common_params], axis=-1))
+    parts = jnp.split(pr, 8, axis=-1)
+    scales_4, means_4n = parts[:4], parts[4:]
+    scales_r = sum(scales_4[q] * masks[m]
+                   for q, m in enumerate(PASS_MASKS[nxt]))
+    return y_hat_so_far, build_indexes_video(scales_r), jnp.stack(means_4n)
+
+
+_dec_pass_update_jit = jax.jit(_dec_pass_update, static_argnums=(1,))
+
+
+@jax.jit
+def _dec_recon(params, y_hat, c1, c2, c3):
+    p = P(params)
+    recon_feature = el_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon = el_recon_generation(p.sub("recon_generation_net"),
+                                         recon_feature, c1)
+    return recon, feature
+
+
+def decompress(model, string, height, width, dpb):
+    coder = model._coder
+    params = model.params
+    shape_hr = model.shape_hr
+    texture, mv_bl_hat, y_bl_hat = _depad(dpb, model.pad_size)
+    mv_ctx, mv_ctx_prior = _dec_mv_setup_jit(params, mv_bl_hat, shape_hr,
+                                             model.scale_factor)
+
+    coder.set_stream(string)
+    zh, zw = get_downsampled_shape(height, width, 64)
+    mv_z = coder.decode_factorized((1, zh, zw, model.channel_mv),
+                                   coder.z_mv_table)
+    mv_idx, mv_means = _dec_mv_prior(params, jnp.asarray(mv_z), mv_ctx_prior)
+    mv_y_q = coder.decode_gaussian(np.asarray(mv_idx))
+    mv_hat, c1, c2, c3 = _dec_contexts_jit(
+        params, jnp.asarray(mv_y_q), mv_means, mv_ctx, texture,
+        dpb["ref_frame_el"], dpb["ref_feature_el"], shape_hr)
+
+    z = coder.decode_factorized((1, zh, zw, 128), coder.z_table)
+    common_params = _dec_common_params_jit(params, jnp.asarray(z), c3,
+                                           y_bl_hat, shape_hr)
+
+    # pass 0 uses common_params' own scales/means
+    half = common_params.shape[-1] // 2
+    means_4 = jnp.stack(jnp.split(common_params[..., half:], 4, axis=-1))
+    idx = _dec_pass0_scales(params, common_params)
+    y_hat = None
+    for pass_idx in range(4):
+        y_q_r = jnp.asarray(coder.decode_gaussian(np.asarray(idx)))
+        y_hat, idx, means_4 = _dec_pass_update_jit(
+            params, pass_idx, y_q_r, y_hat, common_params, means_4)
+
+    recon, feature = _dec_recon(params, y_hat, c1, c2, c3)
+    return {
+        "dpb": {
+            "ref_frame_el": recon,
+            "ref_feature_el": feature,
+        }
+    }

@@ -1,4 +1,5 @@
 from .nn import (
+    ste_round,
     conv2d,
     conv_transpose2d,
     pixel_shuffle,

@@ -161,6 +161,17 @@ def max_pool2d(x, k: int = 2, stride: int | None = None):
     )
 
 
+def ste_round(x):
+    """round() with a straight-through gradient.
+
+    Forward-identical to jnp.round; backward passes gradients through
+    unchanged (the reference's `quant`/`d_quant` STE, `dmc_net.py:408-414`,
+    `img_entropy_models.py:365-371`).  Used for all latent quantization so
+    the same forward serves eval and training.
+    """
+    return x + lax.stop_gradient(jnp.round(x) - x)
+
+
 def leaky_relu(x, negative_slope: float = 0.01):
     return jnp.where(x >= 0, x, x * negative_slope)
 

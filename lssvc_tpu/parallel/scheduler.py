@@ -1,0 +1,92 @@
+"""Task scheduler for evaluation sweeps.
+
+Replaces the reference's spawn-based CUDA process pool
+(`/root/reference/test.py:685-748`) with an in-process scheduler: model
+compute is serialized on the accelerator (XLA streams are async already),
+while host-side work (YUV I/O, color conversion, metrics) overlaps via a
+thread pool.  Models are cached per checkpoint path so a sweep over
+(dataset x ratio x sequence) loads each network once, not once per task.
+"""
+
+from __future__ import annotations
+
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+_MODEL_CACHE: dict = {}
+
+
+def _get_models(task):
+    """Load (i_frame_net, video_net) with caching by checkpoint paths."""
+    from ..convert import load_torch_checkpoint
+    from ..models import IntraSS
+    from ..models.lssvc import LSSVCExtend
+
+    key = (task["i_frame_model_path"],
+           None if task.get("force_intra") else task["video_model_path"])
+    if key not in _MODEL_CACHE:
+        i_frame_net = IntraSS.from_torch_state_dict(
+            load_torch_checkpoint(task["i_frame_model_path"]))
+        video_net = None
+        if not task.get("force_intra"):
+            video_net = LSSVCExtend.from_torch_state_dict(
+                load_torch_checkpoint(task["video_model_path"]))
+        if task.get("write_stream"):
+            i_frame_net.update(force=True)
+            if video_net is not None:
+                video_net.update(force=True)
+        _MODEL_CACHE[key] = (i_frame_net, video_net)
+    return _MODEL_CACHE[key]
+
+
+def run_one(task: dict):
+    import os
+
+    from ..harness.runner import run_test
+
+    i_frame_net, video_net = _get_models(task)
+    task = dict(task)
+    sub_dir = task["video_path"]
+    task["yuv_path_el"] = os.path.join(task["dataset_path"], sub_dir, "x1.yuv")
+    task["gop_size"] = task["gop"]
+    task["bin_folder"] = os.path.join(task.get("stream_path", "out_bin"),
+                                      sub_dir, str(task.get("model_idx", 0)))
+    for key, flag in (("decoded_frame_folder", "decoded_frame_path"),
+                      ("decoded_mv_folder", "decoded_mv_path"),
+                      ("warp_frame_folder", "warp_frame_path")):
+        task[key] = os.path.join(task.get(flag, key), sub_dir,
+                                 str(task.get("model_idx", 0)))
+
+    res_bl, res_el, res_fl = run_test(video_net, i_frame_net, task)
+    name = (f"{os.path.basename(task.get('video_model_path', 'intra'))}"
+            f"_{sub_dir}")
+    for res in (res_bl, res_el, res_fl):
+        res["name"] = name
+        res["ds_name"] = task["ds_name"]
+        res["video_path"] = task["video_path"]
+        res["ratio"] = task["ratio"]
+        res["model_idx"] = task.get("model_idx", 0)
+    return res_bl, res_el, res_fl
+
+
+def run_tasks(tasks, worker_num: int = 1):
+    """Run all tasks; device work serializes naturally, `worker_num` only
+    bounds host-side concurrency."""
+    results = []
+    if worker_num <= 1:
+        for i, task in enumerate(tasks):
+            print(f"[{i + 1}/{len(tasks)}] {task['ds_name']}/"
+                  f"{task['video_path']} {task['ratio']}")
+            results.append(run_one(task))
+        return results
+
+    with ThreadPoolExecutor(max_workers=worker_num) as pool:
+        futures = [pool.submit(run_one, t) for t in tasks]
+        for i, fut in enumerate(futures):
+            try:
+                results.append(fut.result())
+            except Exception:
+                traceback.print_exc()
+                raise
+            print(f"[{i + 1}/{len(tasks)}] done")
+    return results

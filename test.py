@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Evaluation CLI — drop-in replacement for the reference harness
+(`/root/reference/test.py`): same flags, same test-config JSON schema, same
+`{ratio}_{BL,EL,FL}.json` output schema.
+
+Scheduling difference (TPU-native): tasks run through a device-resident
+serial loop per chip instead of a CUDA process pool; with multiple TPU
+devices attached, tasks are round-robined across them via the parallel
+scheduler (lssvc_tpu.parallel).
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="lssvc_tpu testing script")
+    parser.add_argument("--i_frame_model_name", type=str, default="IntraNoAR")
+    parser.add_argument("--i_frame_model_path", type=str, nargs="+")
+    parser.add_argument("--force_intra", type=str2bool, nargs="?", const=True,
+                        default=False)
+    parser.add_argument("--force_frame_num", type=int, default=-1)
+    parser.add_argument("--force_intra_period", type=int, default=-1)
+    parser.add_argument("--intra_rdo", type=str2bool, nargs="?", const=True,
+                        default=False)
+    parser.add_argument("--intra_lmbda", type=float, nargs="+")
+    parser.add_argument("--intra_rdo_iter_to_exit", type=int, default=60)
+    parser.add_argument("--intra_rdo_iter_to_reduce", type=int, default=20)
+    parser.add_argument("--model_path", type=str, nargs="+")
+    parser.add_argument("--inter_mv_rdo", type=str2bool, nargs="?",
+                        const=True, default=False)
+    parser.add_argument("--inter_feature_rdo", type=str2bool, nargs="?",
+                        const=True, default=False)
+    parser.add_argument("--inter_lmbda", type=float, nargs="+")
+    parser.add_argument("--inter_mv_rdo_iter_to_exit", type=int, default=60)
+    parser.add_argument("--inter_mv_rdo_iter_to_reduce", type=int, default=20)
+    parser.add_argument("--inter_feature_rdo_iter_to_exit", type=int,
+                        default=60)
+    parser.add_argument("--inter_feature_rdo_iter_to_reduce", type=int,
+                        default=20)
+    parser.add_argument("--test_config", type=str, required=True)
+    parser.add_argument("--worker", "-w", type=int, default=1,
+                        help="host-side worker threads")
+    parser.add_argument("--cuda", type=str2bool, nargs="?", const=True,
+                        default=False, help="accepted for CLI compat; "
+                        "accelerator selection is JAX's")
+    parser.add_argument("--cuda_device", default=None)
+    parser.add_argument("--write_stream", type=str2bool, nargs="?",
+                        const=True, default=False)
+    parser.add_argument("--stream_path", type=str, default="out_bin")
+    parser.add_argument("--save_decoded_frame", type=str2bool, default=False)
+    parser.add_argument("--save_decoded_mv", type=str2bool, default=False)
+    parser.add_argument("--save_warp_frame", type=str2bool, default=False)
+    parser.add_argument("--save_decoded_context", type=str2bool, default=False)
+    parser.add_argument("--decoded_frame_path", type=str,
+                        default="decoded_frames")
+    parser.add_argument("--decoded_mv_path", type=str, default="decoded_mv")
+    parser.add_argument("--warp_frame_path", type=str, default="warp_frame")
+    parser.add_argument("--decoded_context_path", type=str,
+                        default="decoded_context")
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--decoding_profiling", type=str2bool, default=False)
+    parser.add_argument("--verbose", type=int, default=0)
+    parser.add_argument("--model_name", type=str, default="LSSVC_net")
+    parser.add_argument("--ratios", type=str, nargs="+",
+                        default=["x2", "x1_5"],
+                        help="BL downscale ratios to evaluate")
+    return parser.parse_args()
+
+
+def build_tasks(args, config):
+    tasks = []
+    for ds_name in config:
+        if config[ds_name]["test"] == 0:
+            continue
+        for ratio in args.ratios:
+            for seq_name in config[ds_name]["sequences"]:
+                for model_idx in range(len(args.model_path)):
+                    seq_cfg = config[ds_name]["sequences"][seq_name]
+                    task = {
+                        "ratio": ratio,
+                        "x1": config[ds_name]["x1"],
+                        ratio: config[ds_name].get(ratio),
+                        "model_idx": model_idx,
+                        "i_frame_model_path": args.i_frame_model_path[model_idx],
+                        "i_frame_model_name": args.i_frame_model_name,
+                        "video_model_path": args.model_path[model_idx],
+                        "video_model_name": args.model_name,
+                        "force_intra": args.force_intra,
+                        "video_path": seq_name,
+                        "gop": (1 if args.force_intra
+                                else (args.force_intra_period
+                                      if args.force_intra_period > 0
+                                      else seq_cfg["gop"])),
+                        "frame_num": (args.force_frame_num
+                                      if args.force_frame_num > 0
+                                      else seq_cfg["frames"]),
+                        "dataset_path": config[ds_name]["base_path"],
+                        "write_stream": args.write_stream,
+                        "stream_path": args.stream_path,
+                        "save_decoded_frame": args.save_decoded_frame,
+                        "save_decoded_mv": args.save_decoded_mv,
+                        "save_warp_frame": args.save_warp_frame,
+                        "save_decoded_context": args.save_decoded_context,
+                        "decoded_frame_path":
+                            f"{args.decoded_frame_path}_"
+                            f"{args.i_frame_model_name}_LSSVC",
+                        "decoded_mv_path":
+                            f"{args.decoded_mv_path}_"
+                            f"{args.i_frame_model_name}_LSSVC",
+                        "warp_frame_path":
+                            f"{args.warp_frame_path}_"
+                            f"{args.i_frame_model_name}_LSSVC",
+                        "decoded_context_path":
+                            f"{args.decoded_context_path}_"
+                            f"{args.i_frame_model_name}_LSSVC",
+                        "ds_name": ds_name,
+                        "verbose": args.verbose,
+                    }
+                    tasks.append(task)
+    return tasks
+
+
+def main():
+    begin_time = time.time()
+    args = parse_args()
+    if args.force_intra:
+        args.model_path = args.i_frame_model_path
+
+    with open(args.test_config) as f:
+        config = json.load(f)
+
+    tasks = build_tasks(args, config)
+
+    from lssvc_tpu.parallel.scheduler import run_tasks
+
+    results = run_tasks(tasks, worker_num=args.worker)
+
+    from lssvc_tpu.harness.results import filter_dict
+
+    os.makedirs(args.output_path, exist_ok=True)
+    for ratio in args.ratios:
+        logs = {"BL": {}, "EL": {}, "FL": {}}
+        for ds_name in config:
+            if config[ds_name]["test"] == 0:
+                continue
+            for layer in logs:
+                logs[layer].setdefault(ds_name, {})
+            for seq in config[ds_name]["sequences"]:
+                for layer in logs:
+                    logs[layer][ds_name].setdefault(seq, {})
+                for model in args.model_path:
+                    ckpt = os.path.basename(model)
+                    for res_bl, res_el, res_fl in results:
+                        if (res_bl["name"].startswith(ckpt)
+                                and ds_name == res_bl["ds_name"]
+                                and seq == res_bl["video_path"]
+                                and res_bl["ratio"] == ratio):
+                            logs["BL"][ds_name][seq][ckpt] = filter_dict(res_bl)
+                            logs["EL"][ds_name][seq][ckpt] = filter_dict(res_el)
+                            logs["FL"][ds_name][seq][ckpt] = filter_dict(res_fl)
+        for layer, log in logs.items():
+            with open(os.path.join(args.output_path,
+                                   f"{ratio}_{layer}.json"), "w") as fp:
+                json.dump(log, fp, indent=2)
+
+    count_models = len(args.model_path)
+    count_frames = sum(t["frame_num"] for t in tasks) // max(count_models, 1)
+    count_sequences = len({(t["ds_name"], t["video_path"]) for t in tasks})
+    total_minutes = (time.time() - begin_time) / 60
+    print("Test finished")
+    print(f"Tested {count_models} models on {count_frames} frames from "
+          f"{count_sequences} sequences")
+    print(f"Total elapsed time: {total_minutes:.1f} min")
+
+
+if __name__ == "__main__":
+    main()
