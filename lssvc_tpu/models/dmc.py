@@ -213,7 +213,22 @@ class DMCExtend(DMC):
 
     def __init__(self, params: dict):
         super().__init__(params)
-        self.decoding_profiling = {}
+        # per-stage decode wall-clock accumulators (`dmc_net_extend.py:19-47`)
+        self.profile_decoding = False
+        self.decoding_profiling = {k: 0 for k in (
+            "frames", "overall", "entropy_dec_mv_z", "mv_y_prior_dec",
+            "entropy_dec_mv_y", "mv_dec", "motion_compensation_ctx_refine",
+            "entropy_dec_z", "y_h_prior_dec", "y_t_prior", "y_prior",
+            "entropy_dec_y", "res_dec", "rec_generation")}
+
+    def reset_decoding_profiling(self):
+        for k in self.decoding_profiling:
+            self.decoding_profiling[k] = 0
+
+    def get_average_decoding_profiling(self):
+        frames = max(self.decoding_profiling["frames"], 1)
+        return {k: (v if k == "frames" else v / frames)
+                for k, v in self.decoding_profiling.items()}
 
     def update(self, force=False):
         from ..entropy.coder import VideoCoder

@@ -115,25 +115,96 @@ def _dec_stage_recon(params, y_q, means, c1, c2, c3):
     return jnp.clip(recon, 0.0, 1.0), feature, y_hat
 
 
+@jax.jit
+def _dec_stage_mv_only(params, mv_y_q, mv_means):
+    p = P(params)
+    return mv_decoder(p.sub("mv_decoder"), mv_y_q + mv_means)
+
+
+@jax.jit
+def _dec_stage_mc_only(params, mv_hat, ref_frame, ref_feature):
+    c1, c2, c3, _ = motion_compensation(P(params), ref_frame, ref_feature,
+                                        mv_hat)
+    return c1, c2, c3
+
+
+class _StageTimer:
+    """Wall-clock stage brackets feeding the 14-key decode-profiling dict."""
+
+    def __init__(self, profiling: dict | None):
+        self.profiling = profiling
+        self.t0 = None
+        import time as _time
+
+        self._time = _time
+        if profiling is not None:
+            self.t_start = self._time.time()
+
+    def mark(self, key, *sync):
+        if self.profiling is None:
+            return
+        for s in sync:
+            jax.block_until_ready(s)
+        now = self._time.time()
+        if self.t0 is not None:
+            self.profiling[self.t0[0]] += now - self.t0[1]
+        self.t0 = (key, now)
+
+    def begin(self, key):
+        if self.profiling is None:
+            return
+        self.t0 = (key, self._time.time())
+
+    def finish(self, *sync):
+        if self.profiling is None:
+            return
+        for s in sync:
+            jax.block_until_ready(s)
+        now = self._time.time()
+        if self.t0 is not None:
+            self.profiling[self.t0[0]] += now - self.t0[1]
+        self.profiling["overall"] += now - self.t_start
+        self.profiling["frames"] += 1
+
+
 def decompress(model, string, height, width, dpb):
     coder = model._coder
+    profiling = (model.decoding_profiling
+                 if getattr(model, "profile_decoding", False) else None)
+    timer = _StageTimer(profiling)
     coder.set_stream(string)
     zh, zw = get_downsampled_shape(height, width, 64)
 
+    timer.begin("entropy_dec_mv_z")
     mv_z = coder.decode_factorized((1, zh, zw, model.channel_N),
                                    coder.z_mv_table)
+    timer.mark("mv_y_prior_dec")
     mv_idx, mv_means = _dec_stage_mv_prior(model.params, jnp.asarray(mv_z))
+    timer.mark("entropy_dec_mv_y", mv_idx)
     mv_y_q = coder.decode_gaussian(np.asarray(mv_idx))
-    mv_hat, c1, c2, c3 = _dec_stage_contexts(
-        model.params, jnp.asarray(mv_y_q), mv_means,
-        dpb["ref_frame_bl"], dpb["ref_feature_bl"])
+    if profiling is not None:
+        timer.mark("mv_dec")
+        mv_hat = _dec_stage_mv_only(model.params, jnp.asarray(mv_y_q), mv_means)
+        timer.mark("motion_compensation_ctx_refine", mv_hat)
+        c1, c2, c3 = _dec_stage_mc_only(model.params, mv_hat,
+                                        dpb["ref_frame_bl"],
+                                        dpb["ref_feature_bl"])
+        timer.mark("entropy_dec_z", c1, c2, c3)
+    else:
+        mv_hat, c1, c2, c3 = _dec_stage_contexts(
+            model.params, jnp.asarray(mv_y_q), mv_means,
+            dpb["ref_frame_bl"], dpb["ref_feature_bl"])
 
     z = coder.decode_factorized((1, zh, zw, model.channel_N), coder.z_table)
+    timer.mark("y_prior")
     y_idx, y_means = _dec_stage_y_prior(model.params, jnp.asarray(z),
                                         c1, c2, c3)
+    timer.mark("entropy_dec_y", y_idx)
     y_q = coder.decode_gaussian(np.asarray(y_idx))
+    timer.mark("res_dec")
     recon, feature, y_hat = _dec_stage_recon(model.params, jnp.asarray(y_q),
                                              y_means, c1, c2, c3)
+    timer.finish(recon)
     return {
         "dpb": {
             "ref_frame_bl": recon,
