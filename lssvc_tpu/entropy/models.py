@@ -150,6 +150,18 @@ def entropy_bottleneck_forward(p, x, filters=(3, 3, 3, 3),
     return x_hat, like
 
 
+def entropy_bottleneck_aux_loss(p, tail_mass: float = 1e-9,
+                                filters=(3, 3, 3, 3)):
+    """Quantile auxiliary loss: |logits(quantiles) - target| summed
+    (`img_entropy_models.py:478-481`).  Minimized to keep the learned
+    quantiles at the tail-mass boundaries."""
+    quantiles = p("quantiles")  # (C, 1, 3)
+    target = math.log(2 / tail_mass - 1)
+    targets = jnp.asarray([-target, 0.0, target])
+    logits = entropy_bottleneck_logits(p, quantiles, filters)
+    return jnp.sum(jnp.abs(logits - targets))
+
+
 # ---------------------------------------------------------------------------
 # Scale tables / index builders (for the real-bitstream path)
 

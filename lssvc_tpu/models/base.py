@@ -38,3 +38,32 @@ class Model:
         """Reference-compatible alias (`LSSVC_net.py:141-149`)."""
         state_dict = strip_module_prefix(state_dict)
         self.params = convert_state_dict(state_dict, self.TRANSPOSED_CONV_KEYS)
+
+    def load_partial(self, state_dict: dict, src_prefix: str = "",
+                     dst_prefix: str = ""):
+        """Checkpoint surgery: graft a sub-network's weights from another
+        checkpoint (the reference's pretrain loaders, `dmc_net.py:312-350`,
+        `IntraSS.py:216-220`).  Keys starting with `src_prefix` are loaded
+        into `dst_prefix` of this model."""
+        state_dict = strip_module_prefix(state_dict)
+        sub = {dst_prefix + k[len(src_prefix):]: v
+               for k, v in state_dict.items() if k.startswith(src_prefix)}
+        transposed = {k for k in self.TRANSPOSED_CONV_KEYS
+                      if k in sub}
+        converted = convert_state_dict(sub, frozenset(transposed))
+        unknown = set(converted) - set(self.params)
+        if unknown:
+            raise KeyError(f"load_partial: {len(unknown)} unknown keys, "
+                           f"e.g. {sorted(unknown)[:5]}")
+        self.params = {**self.params, **converted}
+
+    def param_label_fn(self, inter_module_names):
+        """Partition labeler for selective freezing (the reference's
+        `control_is_prediction_parameter`, `dmc_net.py:283-290`): maps each
+        param name to 'prediction' or 'other' by substring match."""
+
+        def label(name):
+            return ("prediction"
+                    if any(m in name for m in inter_module_names) else "other")
+
+        return {k: label(k) for k in self.params}

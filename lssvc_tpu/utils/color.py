@@ -91,3 +91,59 @@ def ycbcr_to_rgb(yuv: np.ndarray) -> np.ndarray:
     g = (y - Kr * r - Kb * b) / Kg
     rgb = np.concatenate((r, g, b), axis=0)
     return np.clip(rgb, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# On-device (jnp, NHWC) variants — differentiable, used in training losses
+# (reference tensor variants: `functional.py:141-250`)
+
+def rgb2ycbcr(rgb):
+    """NHWC RGB [0,1] -> YCbCr, BT.709, on device."""
+    import jax.numpy as jnp
+
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
+    y = Kr * r + Kg * g + Kb * b
+    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
+    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+    return jnp.concatenate((y, cb, cr), axis=-1)
+
+
+def ycbcr2rgb(ycbcr):
+    """NHWC YCbCr [0,1] -> RGB, BT.709, on device."""
+    import jax.numpy as jnp
+
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    y, cb, cr = ycbcr[..., 0:1], ycbcr[..., 1:2], ycbcr[..., 2:3]
+    r = y + (2 - 2 * Kr) * (cr - 0.5)
+    b = y + (2 - 2 * Kb) * (cb - 0.5)
+    g = (y - Kr * r - Kb * b) / Kg
+    return jnp.concatenate((r, g, b), axis=-1)
+
+
+def yuv_444_to_420(yuv):
+    """NHWC 444 -> (y, u_half, v_half) via 2x2 average pooling."""
+    from ..ops import avg_pool2d
+
+    y = yuv[..., 0:1]
+    u = avg_pool2d(yuv[..., 1:2], 2)
+    v = avg_pool2d(yuv[..., 2:3], 2)
+    return y, u, v
+
+
+def yuv_420_to_444(y, u, v, mode: str = "bilinear"):
+    """(y, u_half, v_half) NHWC -> 444 tensor."""
+    import jax.numpy as jnp
+
+    from ..ops import bilinear_resize
+
+    target = (y.shape[1], y.shape[2])
+    if mode == "bilinear":
+        u = bilinear_resize(u, target)
+        v = bilinear_resize(v, target)
+    elif mode == "nearest":
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    else:
+        raise ValueError(mode)
+    return jnp.concatenate((y, u, v), axis=-1)
