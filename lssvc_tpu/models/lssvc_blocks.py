@@ -19,7 +19,7 @@ from ..ops import (
     bilinear_resize,
     bilinear_upsample2,
     conv2d,
-    flow_warp,
+    flow_warp_grouped,
     leaky_relu,
 )
 from .components import (
@@ -41,8 +41,17 @@ def conv_seq3(p, x, stride0=1):
 
 def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
                      max_residue_magnitude=40.0):
-    """Group-wise multi-offset warp with masks (`lssvc_modules.py:75-112`)."""
-    b, h, w, c = x.shape
+    """Group-wise multi-offset warp with masks (`lssvc_modules.py:75-112`).
+
+    The reference folds 32 grouped warps through (B*32, 2, H, W) views; here
+    the 32 warp units become ONE grouped-flow gather over a channel-doubled
+    tensor (B, H, W, 96) — no rank-5 reshapes (TPU layout assignment pads
+    tiny minor dims catastrophically), one gather kernel total.
+
+    Warp unit j in [0, 32): flow = offset channels (2j, 2j+1), mask channel
+    j, feature group j % 16 — which is exactly channels [3j, 3j+3) of
+    concat([x, x]).
+    """
     go = group_num * offset_num  # 32 warp units
 
     out = conv(p.sub("conv_offset.0"), aux_feature, stride=2)
@@ -55,24 +64,14 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     o1, o2, mask = jnp.split(out, 3, axis=-1)  # 32 ch each
     mask = jax.nn.sigmoid(mask)
     offset = max_residue_magnitude * jnp.tanh(jnp.concatenate([o1, o2], axis=-1))
-    offset = offset + jnp.tile(flow, (1, 1, 1, go))  # (B,H,W,64)
+    # tile the base flow per unit: channel 2j += fx, 2j+1 += fy
+    offset = offset + jnp.tile(flow, (1, 1, 1, go))  # (B, H, W, 64)
+    flow_x = offset[..., 0::2]  # (B, H, W, 32)
+    flow_y = offset[..., 1::2]
 
-    # warp unit j uses offset channels (2j, 2j+1), mask channel j, and
-    # feature group (j % group_num)
-    offs = offset.reshape(b, h, w, go, 2)
-    x_groups = x.reshape(b, h, w, group_num, c // group_num)
-    x_units = jnp.concatenate([x_groups, x_groups], axis=3)  # (B,H,W,32,cg)
-
-    cg = c // group_num
-    offs_b = jnp.transpose(offs, (0, 3, 1, 2, 4)).reshape(b * go, h, w, 2)
-    x_b = jnp.transpose(x_units, (0, 3, 1, 2, 4)).reshape(b * go, h, w, cg)
-    warped = flow_warp(x_b, offs_b)
-    mask_b = jnp.transpose(mask, (0, 3, 1, 2)).reshape(b * go, h, w, 1)
-    warped = warped * mask_b
-
-    # back to torch channel order c = j*cg + t
-    warped = warped.reshape(b, go, h, w, cg)
-    warped = jnp.transpose(warped, (0, 2, 3, 1, 4)).reshape(b, h, w, go * cg)
+    x2 = jnp.concatenate([x, x], axis=-1)  # unit j <-> channels [3j, 3j+3)
+    warped = flow_warp_grouped(x2, flow_x, flow_y)
+    warped = warped * jnp.repeat(mask, x.shape[-1] // group_num, axis=-1)
     return conv2d(warped, p("fusion.weight"), p("fusion.bias"),
                   padding=0, groups=group_num)
 

@@ -14,4 +14,10 @@ from .nn import (
     default_conv_precision,
     set_default_conv_precision,
 )
-from .warp import flow_warp, bilinear_resize, bilinear_upsample2, bilinear_downsample2
+from .warp import (
+    flow_warp,
+    flow_warp_grouped,
+    bilinear_resize,
+    bilinear_upsample2,
+    bilinear_downsample2,
+)

@@ -61,6 +61,53 @@ def flow_warp(x, flow):
     return top * (1.0 - wy) + bot * wy
 
 
+def flow_warp_grouped(x, flow_x, flow_y):
+    """Backward-warp with per-channel-group flows.
+
+    x: (B, H, W, C); flow_x/flow_y: (B, H, W, G) with C % G == 0 — channel c
+    is warped by flow group c // (C/G).  Same bilinear/border/align-corners
+    semantics as flow_warp.  Everything stays rank-3/4 with C-sized trailing
+    dims (TPU layouts degrade badly on tiny minor dims).
+    """
+    b, h, w, c = x.shape
+    g = flow_x.shape[-1]
+    r = c // g
+    iy = jnp.arange(h, dtype=flow_x.dtype)[None, :, None, None]
+    ix = jnp.arange(w, dtype=flow_x.dtype)[None, None, :, None]
+    px = jnp.clip(ix + flow_x, 0.0, w - 1.0)
+    py = jnp.clip(iy + flow_y, 0.0, h - 1.0)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    flat = x.reshape(b, h * w, c)
+
+    def expand(t):
+        # (B, H, W, G) -> (B, H, W, C): channel c uses group c // r
+        return jnp.repeat(t, r, axis=-1)
+
+    def gather(yy, xx):
+        idx = expand(yy * w + xx).reshape(b, h * w, c)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+
+    wxc = expand(wx)
+    wyc = expand(wy)
+    top = v00 * (1.0 - wxc) + v01 * wxc
+    bot = v10 * (1.0 - wxc) + v11 * wxc
+    return top * (1.0 - wyc) + bot * wyc
+
+
 @functools.lru_cache(maxsize=512)
 def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) matrix reproducing torch bilinear align_corners=False."""

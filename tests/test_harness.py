@@ -57,7 +57,7 @@ def test_run_test_end_to_end(tmp_path):
     from lssvc_tpu.models.intra_ss import IntraSS
     from lssvc_tpu.models.lssvc import LSSVCExtend
 
-    h, w, n_frames = 128, 128, 3
+    h, w, n_frames = 256, 256, 3
     rng = np.random.default_rng(0)
     yuv_path = str(tmp_path / "seq.yuv")
     with open(yuv_path, "wb") as f:
