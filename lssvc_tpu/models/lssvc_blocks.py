@@ -39,20 +39,44 @@ def conv_seq3(p, x, stride0=1):
     return conv(p.sub("2"), f)
 
 
+def _offset_fusion_scatter(group_num: int, offset_num: int, cg: int):
+    """Static (C_in', C_out, U) 0/1 tensor mapping the grouped fusion conv
+    onto a dense matmul over the block-layout warped tensor.
+
+    Torch semantics (`lssvc_modules.py:90,103-110`): fusion is a 1x1 conv
+    with `group_num` groups over channels c = j*cg + t (unit-major); its
+    group g consumes warp units j in {offset_num*g + d} and produces
+    channels [cg*g, cg*(g+1)).  Our warped tensor uses block layout
+    c' = k*G + j (k = channel-in-unit), so scatter[c', o, u] = 1 iff input
+    c' is the u-th in-group input of o's group."""
+    go = group_num * offset_num
+    c_out = group_num * cg
+    u_per_group = offset_num * cg
+    scat = np.zeros((go * cg, c_out, u_per_group), dtype=np.float32)
+    for g in range(group_num):
+        for d in range(offset_num):
+            j = offset_num * g + d
+            for k in range(cg):
+                u = d * cg + k
+                c_in = k * go + j
+                scat[c_in, cg * g:cg * (g + 1), u] = 1.0
+    return scat
+
+
 def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
                      max_residue_magnitude=40.0):
     """Group-wise multi-offset warp with masks (`lssvc_modules.py:75-112`).
 
     The reference folds 32 grouped warps through (B*32, 2, H, W) views; here
-    the 32 warp units become ONE grouped-flow gather over a channel-doubled
-    tensor (B, H, W, 96) — no rank-5 reshapes (TPU layout assignment pads
-    tiny minor dims catastrophically), one gather kernel total.
-
-    Warp unit j in [0, 32): flow = offset channels (2j, 2j+1), mask channel
-    j, feature group j % 16 — which is exactly channels [3j, 3j+3) of
-    concat([x, x]).
+    the 32 warp units become ONE grouped-flow gather in block channel layout
+    (c' = k*32 + unit), and the grouped 1x1 fusion conv becomes a dense
+    block-diagonal matmul.  Rationale: XLA lowers channel-interleaving
+    repeats and grouped convs through rank-5 intermediates whose tiny minor
+    dims get tile-padded 20-40x at 1080p; concats + dense matmuls keep
+    layouts sane and ride the MXU.
     """
     go = group_num * offset_num  # 32 warp units
+    cg = x.shape[-1] // group_num  # channels per group (3)
 
     out = conv(p.sub("conv_offset.0"), aux_feature, stride=2)
     out = leaky_relu(out, 0.1)
@@ -64,16 +88,25 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     o1, o2, mask = jnp.split(out, 3, axis=-1)  # 32 ch each
     mask = jax.nn.sigmoid(mask)
     offset = max_residue_magnitude * jnp.tanh(jnp.concatenate([o1, o2], axis=-1))
-    # tile the base flow per unit: channel 2j += fx, 2j+1 += fy
-    offset = offset + jnp.tile(flow, (1, 1, 1, go))  # (B, H, W, 64)
-    flow_x = offset[..., 0::2]  # (B, H, W, 32)
-    flow_y = offset[..., 1::2]
+    # offset channel 2j is unit j's dx, 2j+1 its dy; add the base flow
+    flow_x = offset[..., 0::2] + flow[..., 0:1]  # (B, H, W, 32)
+    flow_y = offset[..., 1::2] + flow[..., 1:2]
 
-    x2 = jnp.concatenate([x, x], axis=-1)  # unit j <-> channels [3j, 3j+3)
-    warped = flow_warp_grouped(x2, flow_x, flow_y)
-    warped = warped * jnp.repeat(mask, x.shape[-1] // group_num, axis=-1)
-    return conv2d(warped, p("fusion.weight"), p("fusion.bias"),
-                  padding=0, groups=group_num)
+    # block layout for the warp: channel c' = k*32 + j must hold feature
+    # group (j % 16)'s k-th channel; plane_k = x[..., k::cg] enumerates the
+    # k-th channel of groups 0..15, doubled for the two offset copies
+    planes = [x[..., k::cg] for k in range(cg)]  # each (B, H, W, 16)
+    x_blk = jnp.concatenate([pl for plane in planes
+                             for pl in (plane, plane)], axis=-1)
+    warped = flow_warp_grouped(x_blk, flow_x, flow_y)
+    warped = warped * jnp.concatenate([mask] * cg, axis=-1)
+
+    wg = p("fusion.weight")  # (1, 1, offset_num*cg, C_out) grouped HWIO
+    scat = jnp.asarray(_offset_fusion_scatter(group_num, offset_num, cg))
+    dense = jnp.einsum("uo,iou->io", wg[0, 0], scat)
+    out = jnp.einsum("bhwi,io->bhwo", warped, dense,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out + p("fusion.bias")
 
 
 def hybrid_weight_generator(p, ctx_temp, ctx_spat):

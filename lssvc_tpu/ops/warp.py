@@ -62,12 +62,16 @@ def flow_warp(x, flow):
 
 
 def flow_warp_grouped(x, flow_x, flow_y):
-    """Backward-warp with per-channel-group flows.
+    """Backward-warp with per-channel-group flows, block channel layout.
 
-    x: (B, H, W, C); flow_x/flow_y: (B, H, W, G) with C % G == 0 — channel c
-    is warped by flow group c // (C/G).  Same bilinear/border/align-corners
-    semantics as flow_warp.  Everything stays rank-3/4 with C-sized trailing
-    dims (TPU layouts degrade badly on tiny minor dims).
+    x: (B, H, W, C); flow_x/flow_y: (B, H, W, G) with C % G == 0 — channel
+    c = k*G + g (k in [0, C/G)) is warped by flow group g.  Same bilinear /
+    border / align-corners semantics as flow_warp.
+
+    The block layout matters on TPU: per-group expansion is then a channel
+    concat (layout-preserving) rather than an interleaving repeat, which XLA
+    lowers through rank-5 intermediates whose tiny minor dims get padded to
+    the (8, 128) tile — 20-40x memory blowup at 1080p.
     """
     b, h, w, c = x.shape
     g = flow_x.shape[-1]
@@ -89,8 +93,8 @@ def flow_warp_grouped(x, flow_x, flow_y):
     flat = x.reshape(b, h * w, c)
 
     def expand(t):
-        # (B, H, W, G) -> (B, H, W, C): channel c uses group c // r
-        return jnp.repeat(t, r, axis=-1)
+        # (B, H, W, G) -> (B, H, W, C) in block layout: channel k*G+g <- g
+        return t if r == 1 else jnp.concatenate([t] * r, axis=-1)
 
     def gather(yy, xx):
         idx = expand(yy * w + xx).reshape(b, h * w, c)

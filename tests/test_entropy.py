@@ -1,0 +1,144 @@
+"""Entropy-model math + CDF table builders."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from lssvc_tpu.convert import P, convert_state_dict
+from lssvc_tpu.entropy.models import (
+    bit_estimator_forward,
+    build_indexes_img,
+    build_indexes_video,
+    factorized_bits,
+    laplace_bits,
+    gaussian_conditional_likelihood,
+)
+from lssvc_tpu.entropy.coder import (
+    build_bit_estimator_table,
+    build_laplace_table,
+    build_gaussian_conditional_table,
+)
+
+
+def _torch_bitparm(x, h, b, a=None):
+    if a is None:
+        return torch.sigmoid(x * TF.softplus(h) + b)
+    x = x * TF.softplus(h) + b
+    return x + torch.tanh(x) * torch.tanh(a)
+
+
+def test_bit_estimator_matches_torch_formula():
+    torch.manual_seed(0)
+    ch = 8
+    params = {}
+    tp = {}
+    for layer in ("f1", "f2", "f3", "f4"):
+        for name in (("h", "b") if layer == "f4" else ("h", "b", "a")):
+            t = torch.randn(1, ch, 1, 1) * 0.1
+            tp[f"{layer}.{name}"] = t
+            params[f"{layer}.{name}"] = jnp.asarray(
+                t.numpy().reshape(1, 1, 1, ch))
+
+    x = torch.randn(1, ch, 4, 5)
+    v = x
+    for layer in ("f1", "f2", "f3"):
+        v = _torch_bitparm(v, tp[f"{layer}.h"], tp[f"{layer}.b"],
+                           tp[f"{layer}.a"])
+    ref = _torch_bitparm(v, tp["f4.h"], tp["f4.b"]).numpy()
+
+    out = bit_estimator_forward(P(params),
+                                jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_laplace_bits_matches_torch():
+    torch.manual_seed(1)
+    y = torch.round(torch.randn(1, 4, 8, 8) * 3)
+    sigma = torch.rand(1, 4, 8, 8) * 2 + 0.01
+    mu = torch.zeros_like(sigma)
+    s = sigma.clamp(1e-5, 1e10)
+    lap = torch.distributions.laplace.Laplace(mu, s)
+    probs = lap.cdf(y + 0.5) - lap.cdf(y - 0.5)
+    ref_bits = torch.sum(torch.clamp(
+        -1.0 * torch.log(probs + 1e-5) / math.log(2.0), 0, 50)).item()
+
+    bits, _ = laplace_bits(jnp.asarray(y.numpy().transpose(0, 2, 3, 1)),
+                           jnp.asarray(sigma.numpy().transpose(0, 2, 3, 1)))
+    assert abs(float(bits) - ref_bits) < 1e-2
+
+
+def test_gaussian_conditional_likelihood_matches_torch():
+    torch.manual_seed(2)
+    y = torch.round(torch.randn(1, 4, 8, 8) * 2)
+    scales = torch.rand(1, 4, 8, 8) * 3 + 0.05
+    means = torch.randn(1, 4, 8, 8) * 0.1
+
+    def std_cum(v):
+        return 0.5 * torch.erfc(-(2 ** -0.5) * v)
+
+    values = torch.abs(y - means)
+    sc = torch.clamp(scales, min=0.11)
+    ref = (std_cum((0.5 - values) / sc) - std_cum((-0.5 - values) / sc))
+    ref = torch.clamp(ref, min=1e-9).numpy()
+
+    out = gaussian_conditional_likelihood(
+        jnp.asarray(y.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(scales.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(means.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=1e-6, rtol=1e-4)
+
+
+def test_build_indexes_ranges():
+    scales = jnp.asarray(np.array([[[[1e-9, 0.01, 0.5, 64.0, 100.0]]]]))
+    vi = np.asarray(build_indexes_video(scales)).ravel()
+    assert vi[0] == 0 and vi[1] == 0 and vi[3] == 255 and vi[4] == 255
+    ii = np.asarray(build_indexes_img(scales)).ravel()
+    assert ii.min() >= 0 and ii.max() <= 63
+
+
+@pytest.fixture(scope="module")
+def bitparm_params():
+    torch.manual_seed(3)
+    params = {}
+    for layer in ("f1", "f2", "f3", "f4"):
+        for name in (("h", "b") if layer == "f4" else ("h", "b", "a")):
+            params[f"be.{layer}.{name}"] = jnp.asarray(
+                (torch.randn(1, 1, 1, 6) * 0.1).numpy())
+    return params
+
+
+def test_bit_estimator_table_properties(bitparm_params):
+    table = build_bit_estimator_table(bitparm_params, "be.")
+    assert table.cdfs.shape[0] == 6
+    for i in range(6):
+        row = table.cdfs[i, :table.sizes[i]]
+        assert row[0] == 0
+        assert row[-1] == 1 << 16
+        assert np.all(np.diff(row) >= 1)
+
+
+def test_laplace_table_properties():
+    table = build_laplace_table()
+    assert table.cdfs.shape[0] == 256
+    for i in (0, 100, 255):
+        row = table.cdfs[i, :table.sizes[i]]
+        assert row[0] == 0 and row[-1] == 1 << 16
+        assert np.all(np.diff(row) >= 1)
+    # tiny scales concentrate mass at 0 -> short support
+    assert table.sizes[0] < table.sizes[255]
+
+
+def test_gaussian_conditional_table_properties():
+    table = build_gaussian_conditional_table()
+    assert table.cdfs.shape[0] == 64
+    for i in (0, 32, 63):
+        row = table.cdfs[i, :table.sizes[i]]
+        assert row[0] == 0 and row[-1] == 1 << 16
+        assert np.all(np.diff(row) >= 1)

@@ -14,9 +14,18 @@ from lssvc_tpu.models.init import (
 from ref_oracle import import_reference
 
 
+_CONSTANT_BUFFER_SUFFIXES = (
+    # fixed constants the reference registers as buffers; baked into our
+    # implementations (ops.nn GDN bounds, entropy likelihood bound)
+    ".pedestal", ".lower_bound.bound", "likelihood_lower_bound.bound",
+    ".scale_bound",
+)
+
+
 def _compare(ours: dict, ref: dict, skip_prefixes=()):
     ref = {k: v for k, v in ref.items()
-           if not any(k.startswith(s) for s in skip_prefixes)}
+           if not any(k.startswith(s) for s in skip_prefixes)
+           and not k.endswith(_CONSTANT_BUFFER_SUFFIXES)}
     missing = sorted(set(ref) - set(ours))
     extra = sorted(set(ours) - set(ref))
     assert not missing, f"missing {len(missing)}: {missing[:10]}"
