@@ -24,13 +24,11 @@ def bench_two_layer(el_hw=(1152, 1920), warmup=2, iters=5, dtype="float32"):
 
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc
+    from lssvc_tpu.ops import set_compute_dtype
 
+    set_compute_dtype(dtype)
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)
     params = init_lssvc(seed=0)
-    if dtype != "float32":
-        params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, params)
 
     shape_hr = el_hw
 
@@ -52,28 +50,38 @@ def bench_two_layer(el_hw=(1152, 1920), warmup=2, iters=5, dtype="float32"):
     feat_bl = jax.random.uniform(ks[4], (1, *bl_hw, 64))
     feat_el = jax.random.uniform(ks[5], (1, *el_hw, 48))
 
+    import numpy as np
+
+    def sync(out):
+        # force true completion: a host transfer cannot complete before the
+        # device program does (block_until_ready alone can return early
+        # through remote-execution tunnels)
+        return float(np.asarray(out[-1]))
+
     args = (params, x_bl, x_el, ref_bl, ref_el, feat_bl, feat_el)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        sync(fn(*args))
     dt = (time.time() - t0) / iters
     return 1.0 / dt
 
 
 def main():
-    try:
-        fps = bench_two_layer()
-        metric = "two_layer_1080p_fps_per_chip"
-    except Exception:
-        # fall back to 720p if the full-res graph doesn't fit
-        import traceback
+    import traceback
 
-        traceback.print_exc()
-        fps = bench_two_layer(el_hw=(768, 1280))
-        metric = "two_layer_720p_fps_per_chip"
+    fps = None
+    metric = None
+    for el_hw, tag in (((1152, 1920), "1080p"), ((768, 1280), "720p")):
+        try:
+            fps = bench_two_layer(el_hw=el_hw)
+            metric = f"two_layer_{tag}_fps_per_chip"
+            break
+        except Exception:
+            traceback.print_exc()
+    if fps is None:
+        raise SystemExit("bench failed at all resolutions")
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),

@@ -42,7 +42,11 @@ class Builder:
         fan_in = cin // groups * k * k
         fan_out = cout // groups * k * k
         if self.mode == "xavier":
-            std = math.sqrt(2.0) * math.sqrt(2.0 / (fan_in + fan_out))
+            # The reference uses gain sqrt(2) (`dmc_net.py:292-297`), which
+            # makes the untrained deep residual EL stack blow up to inf in a
+            # single forward; unit gain keeps from-scratch forwards finite
+            # (training starts from pretrained subnets either way).
+            std = math.sqrt(2.0 / (fan_in + fan_out))
             bias = 0.01
         else:
             std = math.sqrt(2.0 / fan_in)

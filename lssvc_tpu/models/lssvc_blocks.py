@@ -13,6 +13,7 @@ kernel instead of a loop.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import (

@@ -24,6 +24,11 @@ from jax import lax
 # the fp32 torch reference; callers can switch to DEFAULT/bf16 for speed.
 _DEFAULT_CONV_PRECISION = lax.Precision.HIGHEST
 
+# Compute dtype for conv/matmul operands. float32 (default) = exact parity;
+# bfloat16 = MXU-native speed with f32 accumulation (parameters stay f32,
+# activations round-trip through bf16 only at conv boundaries).
+_COMPUTE_DTYPE = jnp.float32
+
 
 def default_conv_precision():
     return _DEFAULT_CONV_PRECISION
@@ -32,6 +37,25 @@ def default_conv_precision():
 def set_default_conv_precision(p):
     global _DEFAULT_CONV_PRECISION
     _DEFAULT_CONV_PRECISION = p
+
+
+def set_compute_dtype(dtype):
+    """'float32' for parity, 'bfloat16' for throughput."""
+    global _COMPUTE_DTYPE, _DEFAULT_CONV_PRECISION
+    _COMPUTE_DTYPE = jnp.dtype(dtype)
+    _DEFAULT_CONV_PRECISION = (lax.Precision.HIGHEST
+                               if _COMPUTE_DTYPE == jnp.float32
+                               else lax.Precision.DEFAULT)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def _cast_operands(x, w):
+    if _COMPUTE_DTYPE != jnp.float32:
+        return x.astype(_COMPUTE_DTYPE), w.astype(_COMPUTE_DTYPE)
+    return x, w
 
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -84,6 +108,7 @@ def conv2d(x, w, b=None, stride=1, padding=None, groups=1, precision=None):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
     if isinstance(stride, int):
         stride = (stride, stride)
+    x, w = _cast_operands(x, w)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=stride,
@@ -117,6 +142,7 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=1,
         (k - 1 - p, k - 1 - p + op)
         for k, p, op in zip((kh, kw), padding, output_padding)
     )
+    x, w = _cast_operands(x, w)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
