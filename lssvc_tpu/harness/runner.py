@@ -88,8 +88,10 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
     he, we = pad_info["HR_size"]
     pixel_bl = hb * wb
     pixel_el = he * we
+    # the reference derives one window size from the BL height and applies
+    # it to both layers' RGB MS-SSIM (`test.py:255-259`)
     win_size_bl = 7 if hb <= 160 else 11
-    win_size_el = 7 if he <= 160 else 11
+    win_size_el = win_size_bl
 
     if write_stream:
         os.makedirs(os.path.join(args_dict["bin_folder"], ratio, "BL"),
@@ -162,8 +164,12 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
             enc_el += result.get("encoding_time_EL", 0.0)
             dec_el += result.get("decoding_time_EL", 0.0)
 
+        # the reference clamps the DPB tensors IN PLACE (`test.py:249-250`),
+        # so subsequent frames reference the clamped frames — replicate that
         ref_bl = jnp.clip(dpb["ref_frame_bl"], 0, 1)
         ref_el = jnp.clip(dpb["ref_frame_el"], 0, 1)
+        dpb["ref_frame_bl"] = ref_bl
+        dpb["ref_frame_el"] = ref_el
         x_hat_bl = _to_host_chw(pad_nhwc(ref_bl, inverse_padding_size(p_size_bl)))
         x_hat_el = _to_host_chw(pad_nhwc(ref_el, inverse_padding_size(p_size_el)))
 

@@ -8,12 +8,18 @@ one host.  Must be set before jax initializes.
 import os
 
 # Force (not setdefault): the launch environment may export
-# JAX_PLATFORMS=axon and would silently run the suite on the real chip.
+# JAX_PLATFORMS=axon and would silently run the suite on the real chip;
+# the axon sitecustomize registers its backend at interpreter start, so the
+# jax.config override below is also required (env alone is read too early).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
