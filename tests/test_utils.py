@@ -52,14 +52,16 @@ def test_inverse_padding():
 
 
 def test_color_roundtrip():
-    rng = np.random.default_rng(0)
-    rgb = rng.random((3, 32, 48)).astype(np.float32)
+    # smooth image: 4:2:0 chroma subsampling is near-lossless on smooth
+    # content but heavily lossy on per-pixel noise
+    gy, gx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+                         indexing="ij")
+    rgb = np.stack([gy, gx, 0.5 * (gx + gy)]).astype(np.float32)
     y, uv = rgb_to_ycbcr420(rgb)
     assert y.shape == (1, 32, 48) and uv.shape == (2, 16, 24)
     rec = ycbcr420_to_rgb(y, uv)
-    # 420 subsampling is lossy; just sanity bounds + rough fidelity
     assert rec.shape == rgb.shape
-    assert np.mean(np.abs(rec - rgb)) < 0.1
+    assert np.mean(np.abs(rec - rgb)) < 0.02
 
     yuv = rgb_to_ycbcr(rgb)
     rec444 = ycbcr_to_rgb(yuv)
@@ -135,5 +137,5 @@ def test_stream_container_roundtrip(tmp_path):
 
 
 def test_get_downsampled_shape():
-    assert get_downsampled_shape(1080, 1920, 64) == (18, 30)
+    assert get_downsampled_shape(1080, 1920, 64) == (17, 30)
     assert get_downsampled_shape(1152, 1920, 64) == (18, 30)

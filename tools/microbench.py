@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Component micro-benchmarks at 1080p on the attached accelerator."""
+"""Component micro-benchmarks at 1080p with chained-dependency timing.
+
+Each component runs `iters` times with a data dependence threaded through
+(input perturbed by 0 * f(previous output)), then ONE scalar transfer — so
+the wall-clock measures serial device execution regardless of remote-tunnel
+async/blocking semantics.  The 1-iteration baseline is subtracted to cancel
+fixed overheads.
+"""
 
 import os
 import sys
@@ -9,9 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lssvc_tpu.convert import P
-from lssvc_tpu.models import lssvc as lssvc_model
 from lssvc_tpu.models.components import me_spynet, unet, feature_extractor_3scale
 from lssvc_tpu.models.init import init_lssvc
 from lssvc_tpu.models.lssvc_blocks import el_res_encoder, offset_diversity
@@ -24,29 +31,32 @@ key = jax.random.PRNGKey(0)
 params = init_lssvc(0)
 
 
-def _sync(out):
-    """Force real completion: a host transfer cannot finish early (axon's
-    block_until_ready returns before device execution completes)."""
-    leaf = jax.tree.leaves(out)[0]
-    import numpy as _np
+def chain_run(f, x0, others, n):
+    eps = jnp.zeros(())
+    for _ in range(n):
+        out = f(x0 + eps, *others)
+        leaf = jax.tree.leaves(out)[0]
+        eps = 0.0 * jnp.sum(leaf[(0,) * (leaf.ndim - 1)][..., :1])
+    return float(np.asarray(eps))
 
-    return _np.asarray(leaf).ravel()[0]
 
-
-def timeit(name, fn, *args, iters=3):
+def timeit(name, fn, x0, *others, iters=4):
     f = jax.jit(fn)
-    _sync(f(*args))
+    chain_run(f, x0, others, 1)  # compile + warm
     t0 = time.time()
-    for _ in range(iters):
-        _sync(f(*args))
-    dt = (time.time() - t0) / iters * 1000
-    print(f"{name:40s} {dt:10.1f} ms")
+    chain_run(f, x0, others, 1)
+    t1 = time.time() - t0
+    t0 = time.time()
+    chain_run(f, x0, others, 1 + iters)
+    t_many = time.time() - t0
+    dt = (t_many - t1) / iters * 1000
+    print(f"{name:44s} {dt:10.1f} ms", flush=True)
     return dt
 
 
 def main(dtype="float32"):
     set_compute_dtype(dtype)
-    print(f"=== compute dtype {dtype} ===")
+    print(f"=== compute dtype {dtype} ===", flush=True)
     ks = jax.random.split(key, 8)
     x48 = jax.random.uniform(ks[0], (1, H, W, 48))
     x96 = jax.random.uniform(ks[1], (1, H, W, 96))
@@ -59,6 +69,9 @@ def main(dtype="float32"):
     cat8 = jnp.concatenate([rgb, rgb2, flow], axis=-1)
 
     timeit("conv 7x7 8->32 @1080p", lambda a, w: conv2d(a, w), cat8, w7)
+    timeit("conv 3x3 48->48 @1080p",
+           lambda a, w: conv2d(a, w),
+           x48, jax.random.normal(key, (3, 3, 48, 48)) * 0.05)
     timeit("flow_warp 3ch @1080p", flow_warp, rgb, flow)
     timeit("flow_warp 48ch @1080p", flow_warp, x48, flow)
     timeit("flow_warp_grouped 96ch/32g @1080p",
@@ -66,21 +79,20 @@ def main(dtype="float32"):
     timeit("bilinear_resize 64ch 540p->1080p",
            lambda a: bilinear_resize(a, (H, W)), half64)
     timeit("spynet @1080p",
-           lambda p, a, b: me_spynet(P(p), a, b),
+           lambda a, b, p: me_spynet(P(p), a, b),
+           rgb, rgb2,
            {k[len("optic_flow."):]: v for k, v in params.items()
-            if k.startswith("optic_flow.")}, rgb, rgb2)
+            if k.startswith("optic_flow.")})
     timeit("unet 48ch @1080p",
-           lambda p, a: unet(P(p, "recon_generation_net.unet_1."), a), params,
-           x48)
+           lambda a, p: unet(P(p, "recon_generation_net.unet_1."), a),
+           x48, params)
     timeit("el_res_encoder @1080p",
-           lambda p, a, c1, c2, c3: el_res_encoder(P(p, "res_encoder."), a,
+           lambda a, p, c1, c2, c3: el_res_encoder(P(p, "res_encoder."), a,
                                                    c1, c2, c3),
-           params, rgb, x48,
+           rgb, params, x48,
            jax.random.uniform(key, (1, H // 2, W // 2, 64)),
            jax.random.uniform(key, (1, H // 4, W // 4, 96)))
 
 
 if __name__ == "__main__":
-    import sys
-
     main(sys.argv[1] if len(sys.argv) > 1 else "float32")
