@@ -27,6 +27,10 @@ def flow_warp(x, flow):
     """Backward-warp NHWC `x` by pixel-space `flow` (N, H, W, 2: (dx, dy)).
 
     Bilinear, border clamping, align_corners=True semantics.
+
+    Implemented as four whole-row gathers (jnp.take over flattened pixels,
+    batch folded into rows) — the formulation XLA:TPU lowers to vectorized
+    row DMAs rather than per-element gathers.
     """
     n, h, w, c = x.shape
     iy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
@@ -43,11 +47,14 @@ def flow_warp(x, flow):
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
 
-    flat = x.reshape(n, h * w, c)
+    flat = x.reshape(n * h * w, c)
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
 
     def gather(yy, xx):
-        idx = yy * w + xx  # (N, H, W)
-        return jnp.take_along_axis(flat, idx.reshape(n, h * w, 1), axis=1).reshape(n, h, w, c)
+        idx = (base + yy * w + xx).reshape(-1)  # (N*H*W,) row ids
+        return jnp.take(flat, idx, axis=0,
+                        indices_are_sorted=False,
+                        unique_indices=False).reshape(n, h, w, c)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Bisect the 1080p two-layer forward: stub out one subsystem at a time and
+measure the chained per-frame time.  Identifies which subsystem owns the
+wall-clock without per-op profiling (unavailable through the remote tunnel).
+
+Usage: python tools/bisect_bench.py [variant ...]
+Variants: full no_gathers no_spynet no_unet no_resize no_offset_diversity
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EL_HW = (1152, 1920)
+K = 3
+
+
+def patch(variant):
+    import lssvc_tpu.models.components as comp
+    import lssvc_tpu.models.dmc as dmc
+    import lssvc_tpu.models.lssvc as lssvc
+    import lssvc_tpu.models.lssvc_blocks as blocks
+    import lssvc_tpu.ops as ops
+
+    if variant == "no_gathers":
+        ident = lambda x, flow: x
+
+        comp.flow_warp = ident
+        dmc.flow_warp = ident
+        lssvc.flow_warp = ident
+        blocks.flow_warp_grouped = lambda x, fx, fy: x
+    elif variant == "no_spynet":
+        def zero_flow(p, a, b, levels=4):
+            return jnp.zeros((a.shape[0], a.shape[1], a.shape[2], 2),
+                             dtype=a.dtype)
+
+        dmc.me_spynet = zero_flow
+        lssvc.me_spynet = zero_flow
+    elif variant == "no_unet":
+        comp.unet = lambda p, x: x
+        blocks.unet = lambda p, x: x
+    elif variant == "no_resize":
+        def cheap_resize(x, out_hw):
+            if (x.shape[1], x.shape[2]) == tuple(out_hw):
+                return x
+            reps_h = out_hw[0] // x.shape[1] if out_hw[0] >= x.shape[1] else 1
+            y = x[:, :out_hw[0], :out_hw[1], :]
+            if y.shape[1] != out_hw[0] or y.shape[2] != out_hw[1]:
+                y = jnp.zeros((x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
+                              dtype=x.dtype)
+            return y
+
+        for m in (comp, blocks):
+            m.bilinear_resize = cheap_resize
+        comp.bilinear_upsample2 = lambda x: cheap_resize(
+            x, (x.shape[1] * 2, x.shape[2] * 2))
+        comp.bilinear_downsample2 = lambda x: x[:, ::2, ::2, :]
+        blocks.bilinear_upsample2 = comp.bilinear_upsample2
+    elif variant == "no_offset_diversity":
+        def od_stub(p, x, aux, flow, **kw):
+            return x
+
+        lssvc.offset_diversity = od_stub
+    elif variant != "full":
+        raise ValueError(variant)
+
+
+def run(variant):
+    patch(variant)
+    from lssvc_tpu.models import lssvc as lssvc_model
+    from lssvc_tpu.models.init import init_lssvc
+
+    params = init_lssvc(0)
+    bl_hw = (EL_HW[0] // 2, EL_HW[1] // 2)
+
+    @jax.jit
+    def step(params, x_bl, x_el, dpb, bits_acc):
+        out = lssvc_model.forward_one_frame(
+            params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+            dpb["ref_feature_bl"], dpb["ref_feature_el"],
+            EL_HW, 2.0, (0, 0, 0, 0))
+        return out["dpb"], bits_acc + out["bit_bl"] + out["bit_el"]
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x_bl = jax.random.uniform(ks[0], (1, *bl_hw, 3))
+    x_el = jax.random.uniform(ks[1], (1, *EL_HW, 3))
+    dpb0 = {
+        "ref_frame_bl": jax.random.uniform(ks[2], (1, *bl_hw, 3)),
+        "ref_frame_el": jax.random.uniform(ks[3], (1, *EL_HW, 3)),
+        "ref_feature_bl": jax.random.uniform(ks[4], (1, *bl_hw, 64)),
+        "ref_feature_el": jax.random.uniform(ks[5], (1, *EL_HW, 48)),
+    }
+
+    def chain(n):
+        dpb = dpb0
+        bits = jnp.zeros(())
+        for _ in range(n):
+            dpb, bits = step(params, x_bl, x_el, dpb, bits)
+        return float(np.asarray(bits))
+
+    chain(1)
+    t0 = time.time()
+    chain(1)
+    t1 = time.time() - t0
+    t0 = time.time()
+    chain(1 + K)
+    dt = (time.time() - t0 - t1) / K
+    print(f"{variant:22s} {dt * 1000:10.0f} ms/frame", flush=True)
+
+
+if __name__ == "__main__":
+    run(sys.argv[1] if len(sys.argv) > 1 else "full")
