@@ -48,6 +48,24 @@ def set_compute_dtype(dtype):
                                else lax.Precision.DEFAULT)
 
 
+def set_precision_mode(mode: str):
+    """Convenience presets:
+      'fp32'  — f32 activations, 6-pass exact matmuls (reference parity)
+      'high'  — f32 activations, 3-pass bf16 matmuls (near-parity, ~2x)
+      'bf16'  — bf16 activations + matmuls, f32 accumulation (throughput)
+    """
+    global _DEFAULT_CONV_PRECISION
+    if mode == "fp32":
+        set_compute_dtype("float32")
+    elif mode == "high":
+        set_compute_dtype("float32")
+        _DEFAULT_CONV_PRECISION = lax.Precision.HIGH
+    elif mode == "bf16":
+        set_compute_dtype("bfloat16")
+    else:
+        raise ValueError(mode)
+
+
 def compute_dtype():
     return _COMPUTE_DTYPE
 

@@ -74,6 +74,10 @@ def parse_args():
     parser.add_argument("--decoding_profiling", type=str2bool, default=False)
     parser.add_argument("--verbose", type=int, default=0)
     parser.add_argument("--model_name", type=str, default="LSSVC_net")
+    parser.add_argument("--precision", type=str, default="fp32",
+                        choices=["fp32", "high", "bf16"],
+                        help="compute precision: fp32 = reference parity, "
+                             "high = 3-pass bf16 matmuls, bf16 = throughput")
     parser.add_argument("--ratios", type=str, nargs="+",
                         default=["x2", "x1_5"],
                         help="BL downscale ratios to evaluate")
@@ -138,6 +142,10 @@ def main():
     args = parse_args()
     if args.force_intra:
         args.model_path = args.i_frame_model_path
+
+    from lssvc_tpu.ops import set_precision_mode
+
+    set_precision_mode(args.precision)
 
     with open(args.test_config) as f:
         config = json.load(f)
