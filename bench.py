@@ -29,6 +29,11 @@ def bench_chain(el_hw=(1152, 1920), k=8, dtype="float32"):
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compile cache: 1080p program compiles take ~10+ min through
+    # the remote compile helper; cache hits make repeat runs fast
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc
     from lssvc_tpu.ops import set_compute_dtype

@@ -104,6 +104,7 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
     frame_types = []
     enc_bl = dec_bl = enc_el = dec_el = 0.0
     dpb = None
+    pending = None  # one-frame deferred host-metrics pipeline
     start_time = time.time()
 
     for frame_idx in range(frame_num):
@@ -135,10 +136,15 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
 
         mv_el = warp_frame_el = None
         if frame_idx % gop_size == 0:
-            result = i_frame_net.encode_decode(
-                x_bl_padded, x_el_padded, bin_bl, bin_el,
-                pic_height_bl=hb_pad, pic_width_bl=wb_pad,
-                pic_height_el=he_pad, pic_width_el=we_pad)
+            if write_stream:
+                result = i_frame_net.encode_decode(
+                    x_bl_padded, x_el_padded, bin_bl, bin_el,
+                    pic_height_bl=hb_pad, pic_width_bl=wb_pad,
+                    pic_height_el=he_pad, pic_width_el=we_pad)
+            else:
+                # direct jitted forward: bit counts stay on device so this
+                # frame's host metric work overlaps the next frame's compute
+                result = i_frame_net.forward(x_bl_padded, x_el_padded)
             dpb = {
                 "ref_frame_bl": result["x_hat_bl"],
                 "ref_frame_el": result["x_hat_el"],
@@ -149,10 +155,16 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
             bit_el = result["bit_el"]
             frame_types.append(0)
         else:
-            result = video_net.encode_decode(
-                x_bl_padded, x_el_padded, dpb, bin_bl, bin_el,
-                pic_width=we_pad, pic_height=he_pad,
-                pic_width_bl=wb_pad, pic_height_bl=hb_pad)
+            if write_stream:
+                result = video_net.encode_decode(
+                    x_bl_padded, x_el_padded, dpb, bin_bl, bin_el,
+                    pic_width=we_pad, pic_height=he_pad,
+                    pic_width_bl=wb_pad, pic_height_bl=hb_pad)
+            else:
+                result = video_net.forward_one_frame(
+                    x_bl_padded, x_el_padded, dpb["ref_frame_bl"],
+                    dpb["ref_frame_el"], dpb["ref_feature_bl"],
+                    dpb["ref_feature_el"])
             dpb = result["dpb"]
             mv_el = result.get("mv_hat")
             warp_frame_el = result.get("warp_frame")
@@ -170,27 +182,43 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
         ref_el = jnp.clip(dpb["ref_frame_el"], 0, 1)
         dpb["ref_frame_bl"] = ref_bl
         dpb["ref_frame_el"] = ref_el
-        x_hat_bl = _to_host_chw(pad_nhwc(ref_bl, inverse_padding_size(p_size_bl)))
-        x_hat_el = _to_host_chw(pad_nhwc(ref_el, inverse_padding_size(p_size_el)))
+        x_hat_bl_dev = pad_nhwc(ref_bl, inverse_padding_size(p_size_bl))
+        x_hat_el_dev = pad_nhwc(ref_el, inverse_padding_size(p_size_el))
 
-        frames_bl.append(_layer_metrics(bit_bl, rgb_bl, y_bl_p, u_bl_p,
-                                        v_bl_p, x_hat_bl, win_size_bl))
-        frames_el.append(_layer_metrics(bit_el, rgb_el, y_el_p, u_el_p,
-                                        v_el_p, x_hat_el, win_size_el))
-        if verbose and warp_frame_el is not None:
-            wf = _to_host_chw(pad_nhwc(jnp.clip(warp_frame_el, 0, 1),
-                                       inverse_padding_size(p_size_el)))
-            print("warp psnr:", _psnr_rgb(wf, rgb_el))
+        def process_metrics(frame_idx, bit_bl, bit_el, x_hat_bl_dev,
+                            x_hat_el_dev, rgb_bl, rgb_el, planes_bl,
+                            planes_el, mv_el, warp_frame_el):
+            """Host-side work for one frame (runs while the device computes
+            the NEXT frame — one-frame software pipeline)."""
+            x_hat_bl = _to_host_chw(x_hat_bl_dev)
+            x_hat_el = _to_host_chw(x_hat_el_dev)
+            frames_bl.append(_layer_metrics(float(bit_bl), rgb_bl, *planes_bl,
+                                            x_hat_bl, win_size_bl))
+            frames_el.append(_layer_metrics(float(bit_el), rgb_el, *planes_el,
+                                            x_hat_el, win_size_el))
+            if verbose and warp_frame_el is not None:
+                wf = _to_host_chw(pad_nhwc(jnp.clip(warp_frame_el, 0, 1),
+                                           inverse_padding_size(p_size_el)))
+                print("warp psnr:", _psnr_rgb(wf, rgb_el))
+            if save_decoded_frame:
+                _save_frame_artifacts(args_dict, ratio, frame_idx, x_hat_bl,
+                                      x_hat_el)
+            if save_decoded_mv and mv_el is not None:
+                _save_mv_artifact(args_dict, ratio, frame_idx, mv_el)
+            if save_warp_frame and warp_frame_el is not None:
+                _save_warp_artifact(args_dict, ratio, frame_idx,
+                                    warp_frame_el, p_size_el)
 
-        if save_decoded_frame:
-            _save_frame_artifacts(args_dict, ratio, frame_idx, x_hat_bl,
-                                  x_hat_el)
-        if save_decoded_mv and mv_el is not None:
-            _save_mv_artifact(args_dict, ratio, frame_idx, mv_el)
-        if save_warp_frame and warp_frame_el is not None:
-            _save_warp_artifact(args_dict, ratio, frame_idx, warp_frame_el,
-                                p_size_el)
+        pending_args = (frame_idx, bit_bl, bit_el, x_hat_bl_dev,
+                        x_hat_el_dev, rgb_bl, rgb_el,
+                        (y_bl_p, u_bl_p, v_bl_p), (y_el_p, u_el_p, v_el_p),
+                        mv_el, warp_frame_el)
+        if pending is not None:
+            process_metrics(*pending)
+        pending = pending_args
 
+    if pending is not None:
+        process_metrics(*pending)
     reader.close()
     test_time = time.time() - start_time
 
