@@ -60,3 +60,33 @@ def test_intra_compress_decompress_api(model):
     est = model.forward(x)
     np.testing.assert_allclose(np.asarray(dec["y_hat"]),
                                np.asarray(est["y_hat"]), atol=1e-5)
+
+
+def test_intra_ss_stream_roundtrip(tmp_path):
+    """Two-file (BL+EL) IntraSS stream: encode -> decode must reproduce the
+    estimated-path reconstructions (`IntraSS.py:245-302` contract)."""
+    import_reference()
+    from src.models.IntraSS import IntraSS as RefIntraSS
+
+    from lssvc_tpu.models import IntraSS
+
+    torch.manual_seed(1)
+    ref = RefIntraSS(channel_BL=32)
+    m = IntraSS.from_torch_state_dict(ref.state_dict())
+    m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+
+    rng = np.random.default_rng(3)
+    x_bl = jnp.asarray(rng.random((1, 64, 64, 3)), dtype=jnp.float32)
+    x_el = jnp.asarray(rng.random((1, 128, 128, 3)), dtype=jnp.float32)
+
+    est = m.forward(x_bl, x_el)
+    m.update(force=True)
+    res = m.encode_decode(x_bl, x_el,
+                          str(tmp_path / "bl.bin"), str(tmp_path / "el.bin"),
+                          pic_height_bl=64, pic_width_bl=64,
+                          pic_height_el=128, pic_width_el=128)
+    assert res["bit_bl"] > 0 and res["bit_el"] > 0
+    np.testing.assert_allclose(np.asarray(res["x_hat_el"]),
+                               np.asarray(est["x_hat_el"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res["x_hat_bl"]),
+                               np.asarray(est["x_hat_bl"]), atol=1e-4)
