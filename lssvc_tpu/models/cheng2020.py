@@ -187,6 +187,7 @@ class Cheng2020Anchor(Model):
                                     np.concatenate(idxs), gc.cdfs, gc.sizes,
                                     gc.offsets)
             y_strings.append(enc.flush())
+            self._last_y_hat = y_hat[pad:-pad, pad:-pad]
         return {"strings": [y_strings, z_strings],
                 "shape": (z.shape[1], z.shape[2])}
 
@@ -222,4 +223,4 @@ class Cheng2020Anchor(Model):
             outs.append(y_hat[pad:-pad, pad:-pad])
         y_hat = jnp.asarray(np.stack(outs))
         x_hat = jnp.clip(g_s(p.sub("g_s"), y_hat), 0.0, 1.0)
-        return {"x_hat": x_hat}
+        return {"x_hat": x_hat, "y_hat": y_hat}

@@ -18,9 +18,10 @@ import jax.numpy as jnp
 
 from ..ops import (
     conv2d, conv_transpose2d, pixel_shuffle, avg_pool2d, max_pool2d,
-    leaky_relu, relu, gdn, flow_warp, bilinear_resize, bilinear_upsample2,
+    leaky_relu, relu, gdn, bilinear_resize, bilinear_upsample2,
     bilinear_downsample2,
 )
+from ..ops.warp_pallas import flow_warp_auto as flow_warp
 
 
 def conv(p, x, stride=1, padding=None, groups=1):

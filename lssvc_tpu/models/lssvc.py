@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
-from ..ops import flow_warp, leaky_relu, pad_nhwc, ste_round
+from ..ops import leaky_relu, pad_nhwc, ste_round
+from ..ops.warp_pallas import flow_warp_auto as flow_warp
 from .base import Model
 from . import dmc
 from .components import (
