@@ -5,9 +5,12 @@ the channel plan g_ch = 48/64/96/96/128 for 1x/2x/4x/8x/16x scales, the
 OffsetDiversity group-warp aligner, inter-layer resamplers, hybrid weight
 generator, and the MV conditional coding transforms.
 
-OffsetDiversity's 32 grouped warps are folded into ONE batched flow_warp
-call (batch = B * group_num * offset_num) so the TPU sees a single gather
-kernel instead of a loop.
+OffsetDiversity's 32 grouped warps run through `grouped_warp_auto` — a
+Pallas windowed-gather kernel (ops/warp_pallas.py) in BLOCK channel layout
+(c' = k*group_offset + j), with an exact XLA fallback via lax.cond when a
+flow exceeds the kernel's displacement window.  The 1x1 fusion conv is
+applied as a dense block-diagonal matmul (`_offset_fusion_scatter`) so the
+interleaved->block permutation never materialises a tiny-minor-dim tensor.
 """
 
 from __future__ import annotations

@@ -22,3 +22,16 @@ def assert_close_mostly(actual, desired, atol=1e-4, rtol=1e-3,
     assert frac <= max_mismatch_frac, (
         f"{frac * 100:.3f}% of elements mismatched "
         f"(max abs diff {diff.max():.4g})")
+
+
+def assert_rel_rms(actual, desired, max_rel_rms=0.05):
+    """For outputs of numerically chaotic random-init nets (activations in
+    the thousands; round-tie flips in quantized latents shift broad recon
+    regions).  Relative RMS separates regimes cleanly: op-order noise gives
+    ~1%, a wiring bug gives ~100%."""
+    actual = np.asarray(actual)
+    desired = np.asarray(desired)
+    assert actual.shape == desired.shape
+    rel = float(np.sqrt(np.mean((actual - desired) ** 2))
+                / max(np.sqrt(np.mean(desired ** 2)), 1e-12))
+    assert rel <= max_rel_rms, f"relative RMS {rel:.4f} > {max_rel_rms}"

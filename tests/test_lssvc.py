@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from parity_utils import assert_close_mostly
+from parity_utils import assert_close_mostly, assert_rel_rms
 import pytest
 import torch
 
@@ -53,10 +53,14 @@ def test_lssvc_forward_parity(models):
     # (each clamped at 50 bits) shift totals by ~1e-3 relative
     assert abs(float(o["bit_bl"]) - r["bit_bl"]) / max(r["bit_bl"], 1) < 3e-3
     assert abs(float(o["bit_el"]) - r["bit_el"]) / max(r["bit_el"], 1) < 3e-3
-    assert_close_mostly(
+    # recons pass through random-init decoders with activations in the
+    # thousands; torch-CPU vs XLA-CPU op-order flips a few latent round
+    # ties, which the chaotic decoders spread over broad regions.  Measured
+    # noise floor ~1% relative RMS; wiring bugs give ~100%.
+    assert_rel_rms(
         np.asarray(o["dpb"]["ref_frame_el"]).transpose(0, 3, 1, 2),
         r["dpb"]["ref_frame_el"].numpy())
-    assert_close_mostly(
+    assert_rel_rms(
         np.asarray(o["dpb"]["ref_frame_bl"]).transpose(0, 3, 1, 2),
         r["dpb"]["ref_frame_bl"].numpy())
     assert_close_mostly(

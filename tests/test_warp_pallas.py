@@ -1,0 +1,94 @@
+"""Direct tests for the Pallas windowed warp kernels (interpret mode on CPU).
+
+Model-level tests exercise the XLA warp path on CPU (the auto wrappers skip
+pallas off-TPU to avoid minutes-long interpret-mode compiles); these tests
+call the pallas kernels directly at small shapes, including shapes NOT
+aligned to the (8, 128) tile grid — covering the internal padding and the
+true-border (not padded-border) clamping.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lssvc_tpu.ops.warp import flow_warp, flow_warp_grouped
+from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas, _grouped_warp_pallas
+
+# small displacement windows keep interpret-mode compiles fast;
+# (2*d_h+2) % 128 == 0 and (2*d_v+2) % 8 == 0 are kernel requirements
+D_V = 3
+D_H = 63
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+        * scale)
+
+
+def _rand_flow(shape, seed):
+    # kernel precondition: |dy| <= d_v - 1, |dx| <= d_h - 1 (the auto
+    # wrapper checks this at runtime; direct calls must respect it)
+    f = np.random.default_rng(seed).uniform(-1, 1, size=shape)
+    f[..., 0] *= D_H - 1
+    f[..., 1] *= D_V - 1
+    return jnp.asarray(f.astype(np.float32))
+
+
+def test_pallas_warp_aligned_exact():
+    x = _rand((1, 16, 128, 3), 0)
+    flow = _rand_flow((1, 16, 128, 2), 1)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_warp_unaligned_shape():
+    # H=14, W=150 force internal padding to (16, 256)
+    x = _rand((1, 14, 150, 4), 2)
+    flow = _rand_flow((1, 14, 150, 2), 3)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_warp_border_clamp_uses_true_size():
+    # constant +2.0 flow pushes right/bottom-edge samples past the TRUE
+    # border; they must clamp to column w-1 / row h-1 (border replicate),
+    # not sample the zero padding added for tile alignment
+    x = _rand((1, 14, 150, 2), 4)
+    flow = jnp.full((1, 14, 150, 2), 2.0, jnp.float32)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_grouped_warp_matches_xla_block_path():
+    group_num, offset_num, cg = 2, 2, 2
+    go = group_num * offset_num
+    h, w = 14, 150  # unaligned: exercises padding + true-border clamp
+    x = _rand((1, h, w, group_num * cg), 5)
+    fx = jnp.clip(_rand((1, h, w, go), 6, scale=1.5), -(D_H - 1), D_H - 1)
+    fy = jnp.clip(_rand((1, h, w, go), 7, scale=1.5), -(D_V - 1), D_V - 1)
+    mask = jnp.abs(_rand((1, h, w, go), 8))
+
+    out = _grouped_warp_pallas(x, fx, fy, mask, D_V, D_H, group_num)
+
+    # reference: the XLA block-layout grouped path (itself validated against
+    # the torch OffsetDiversity in test_offset_diversity.py)
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate(
+        [pl for plane in planes for pl in (plane,) * offset_num], axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate(
+        [mask] * cg, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_warp_tall_tile_path():
+    # h >= 128 selects the 32-row output tile (window margin amortization);
+    # h=130 also forces height padding to 160
+    x = _rand((1, 130, 128, 2), 9)
+    flow = _rand_flow((1, 130, 128, 2), 10)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
