@@ -16,6 +16,13 @@ four-part prior, reconstruction).
 
 Baseline: the reference reports ~1.44 s encode + ~1.35 s decode per
 two-layer 1080p P-frame (BASELINE.md) => 0.358 fps enc+dec.
+
+Precision: the recorded metric runs the bf16 serving mode (bf16 conv
+operands, f32 accumulation, f32 parameters).  `--mode fp32` gives the
+reference-parity mode (6-pass exact f32 matmuls), `--mode high` the
+near-parity 3-pass mode.  Measured (v5e, 2026-08): fp32 0.199 fps,
+high 0.234 fps, bf16 0.285 fps.  BD-rate validation of bf16 against fp32 requires trained
+weights (round-2 item, docs/PERFORMANCE.md).
 """
 
 import json
@@ -24,7 +31,7 @@ import time
 BASELINE_FPS = 1.0 / (1.44 + 1.35)
 
 
-def bench_chain(el_hw=(1152, 1920), k=8, dtype="float32"):
+def bench_chain(el_hw=(1152, 1920), k=8, mode="bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,9 +43,9 @@ def bench_chain(el_hw=(1152, 1920), k=8, dtype="float32"):
 
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc
-    from lssvc_tpu.ops import set_compute_dtype
+    from lssvc_tpu.ops import set_precision_mode
 
-    set_compute_dtype(dtype)
+    set_precision_mode(mode)
     params = init_lssvc(0)
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)
     shape_hr = el_hw
@@ -80,13 +87,18 @@ def bench_chain(el_hw=(1152, 1920), k=8, dtype="float32"):
 
 
 def main():
+    import sys
     import traceback
+
+    mode = "bf16"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
 
     fps = None
     metric = None
     for el_hw, tag in (((1152, 1920), "1080p"), ((768, 1280), "720p")):
         try:
-            fps = bench_chain(el_hw=el_hw)
+            fps = bench_chain(el_hw=el_hw, mode=mode)
             metric = f"two_layer_{tag}_fps_per_chip"
             break
         except Exception:
