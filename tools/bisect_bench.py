@@ -19,6 +19,7 @@ import numpy as np
 
 EL_HW = (1152, 1920)
 K = 3
+MODE = os.environ.get("LSSVC_BENCH_MODE", "bf16")
 
 
 def patch(variant):
@@ -29,12 +30,13 @@ def patch(variant):
     import lssvc_tpu.ops as ops
 
     if variant == "no_gathers":
-        ident = lambda x, flow: x
+        ident = lambda x, flow, **kw: x
 
         comp.flow_warp = ident
         dmc.flow_warp = ident
         lssvc.flow_warp = ident
-        blocks.flow_warp_grouped = lambda x, fx, fy: x
+        blocks.grouped_warp_auto = (
+            lambda x, fx, fy, m, g, **kw: jnp.concatenate([x, x], axis=-1))
     elif variant == "no_spynet":
         def zero_flow(p, a, b, levels=4):
             return jnp.zeros((a.shape[0], a.shape[1], a.shape[2], 2),
@@ -72,6 +74,9 @@ def patch(variant):
 
 
 def run(variant):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from lssvc_tpu.ops import set_precision_mode
+    set_precision_mode(MODE)
     patch(variant)
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc
