@@ -101,11 +101,15 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     # out-of-window flows — the XLA path alone costs ~14 s/frame at 1080p
     warped = grouped_warp_auto(x, flow_x, flow_y, mask, group_num)
 
+    from ..ops.nn import compute_dtype, default_conv_precision
+
     wg = p("fusion.weight")  # (1, 1, offset_num*cg, C_out) grouped HWIO
     scat = jnp.asarray(_offset_fusion_scatter(group_num, offset_num, cg))
     dense = jnp.einsum("uo,iou->io", wg[0, 0], scat)
-    out = jnp.einsum("bhwi,io->bhwo", warped, dense,
-                     precision=jax.lax.Precision.HIGHEST)
+    dt = compute_dtype()
+    out = jnp.einsum("bhwi,io->bhwo", warped.astype(dt), dense.astype(dt),
+                     precision=default_conv_precision(),
+                     preferred_element_type=jnp.float32)
     return out + p("fusion.bias")
 
 

@@ -136,23 +136,153 @@ def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 def bilinear_resize(x, out_hw):
-    """Resize NHWC `x` to (out_h, out_w), torch bilinear align_corners=False."""
+    """Resize NHWC `x` to (out_h, out_w), torch bilinear align_corners=False.
+
+    Exact 2x / 0.5x factors take the 2-tap lerp path (pure elementwise, no
+    matmul); other factors run the 2-banded resize matrices as dense
+    einsums (layout-friendly but FLOP-heavy — only hit by non-integer layer
+    ratios such as x1.5)."""
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     h, w = x.shape[1], x.shape[2]
     if (h, w) == (out_h, out_w):
         return x
-    mh = jnp.asarray(_bilinear_matrix(h, out_h))
-    mw = jnp.asarray(_bilinear_matrix(w, out_w))
-    y = jnp.einsum("oh,nhwc->nowc", mh, x, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("pw,nowc->nopc", mw, y, precision=jax.lax.Precision.HIGHEST)
-    return y
+    if (out_h, out_w) == (2 * h, 2 * w):
+        return bilinear_upsample2(x)
+    if (2 * out_h, 2 * out_w) == (h, w):
+        return bilinear_downsample2(x)
+    from .nn import compute_dtype, default_conv_precision
+
+    prec = default_conv_precision()
+    dt = compute_dtype()
+    mh = jnp.asarray(_bilinear_matrix(h, out_h), dtype=dt)
+    mw = jnp.asarray(_bilinear_matrix(w, out_w), dtype=dt)
+    xc = x.astype(dt)
+    y = jnp.einsum("oh,nhwc->nowc", mh, xc, precision=prec)
+    y = jnp.einsum("pw,nowc->nopc", mw, y, precision=prec)
+    return y.astype(x.dtype)
+
+
+def _up2_axis(x, axis):
+    """2x torch-bilinear (align_corners=False) along `axis`: sample position
+    for output 2j is j - 0.25 and for 2j+1 is j + 0.25, border-clamped, so
+    even outputs are 0.75*x[j] + 0.25*x[j-1] and odd 0.75*x[j] + 0.25*x[j+1].
+    The interleave reshape merges two MAJOR dims — no tiny-minor-dim
+    tile-padding (the TPU layout pathology documented in PERFORMANCE.md)."""
+    n = x.shape[axis]
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    xm = jnp.concatenate([first, jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
+                         axis=axis)
+    xp = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis), last],
+                         axis=axis)
+    even = 0.75 * x + 0.25 * xm
+    odd = 0.75 * x + 0.25 * xp
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = x.shape[:axis] + (2 * n,) + x.shape[axis + 1:]
+    return stacked.reshape(new_shape)
 
 
 def bilinear_upsample2(x):
-    """2x bilinear upsample (reference `bilinearupsacling`)."""
-    return bilinear_resize(x, (x.shape[1] * 2, x.shape[2] * 2))
+    """2x bilinear upsample (reference `bilinearupsacling`), 2-tap lerps."""
+    return _up2_axis(_up2_axis(x, 1), 2)
 
 
 def bilinear_downsample2(x):
-    """0.5x bilinear downsample (reference `bilineardownsacling`)."""
-    return bilinear_resize(x, (x.shape[1] // 2, x.shape[2] // 2))
+    """0.5x bilinear downsample (reference `bilineardownsacling`): sample
+    position for output i is 2i + 0.5 -> mean of the two source rows/cols."""
+    n, h, w, c = x.shape
+    y = 0.5 * (x[:, 0::2] + x[:, 1::2])
+    return 0.5 * (y[:, :, 0::2] + y[:, :, 1::2])
+
+def flow_warp_shift_sum(x, flow, bound: int):
+    """Exact bilinear backward warp for |flow| <= `bound` (both axes), as a
+    sum over integer taps: out = sum_{dy,dx} shift(x, dy, dx) *
+    relu(1-|fy_eff-dy|) * relu(1-|fx_eff-dx|).
+
+    No gathers (XLA:TPU lowers dynamic gathers to ~17ns/element scalar
+    loops) and no pallas: a fori_loop over the (2b+2)^2 taps, each taking a
+    dynamic_slice of ONE zero-padded copy.  Structure notes (both measured
+    at 1080p): a fully unrolled sum makes XLA materialize every shifted
+    copy (36 GB, compile-time HBM OOM); hoisting the row slice per vertical
+    tap with static horizontal unroll is ~2x faster in isolation but raises
+    the full model's peak HBM past capacity.  The per-tap loop is the
+    memory-safe shape.
+
+    Border semantics match `flow_warp` (clamp): clamping the sample
+    position keeps the effective per-pixel flow within [-bound, bound], and
+    out-of-image taps always carry zero weight, so zero-fill shifts are
+    exact.
+    """
+    n, h, w, c = x.shape
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    fy = (jnp.clip(iy + flow[..., 1], 0.0, h - 1.0) - iy)[..., None]
+    fx = (jnp.clip(ix + flow[..., 0], 0.0, w - 1.0) - ix)[..., None]
+
+    taps = 2 * bound + 2
+    xp = jnp.pad(x, ((0, 0), (bound, bound + 1), (bound, bound + 1), (0, 0)))
+
+    one = jnp.float32(1.0)
+
+    def tap_body(t, acc):
+        dy = (t // taps - bound).astype(jnp.float32)
+        dx = (t % taps - bound).astype(jnp.float32)
+        wy = jnp.maximum(one - jnp.abs(fy - dy), 0.0)
+        wx = jnp.maximum(one - jnp.abs(fx - dx), 0.0)
+        xs = jax.lax.dynamic_slice(
+            xp, (0, t // taps, t % taps, 0), (n, h, w, c))
+        return acc + xs * (wy * wx)
+
+    return jax.lax.fori_loop(0, taps * taps, tap_body, jnp.zeros_like(x))
+
+
+def grouped_warp_shift_sum(x, flow_x, flow_y, mask, group_num: int,
+                           bound: int):
+    """Shift-sum variant of the OffsetDiversity grouped warp (block channel
+    layout c' = k*go + j, mask applied), exact for |flow| <= bound.
+
+    Per tap, ALL go=group_num*offset_num units share the same shifted
+    source; only the per-unit weight maps differ.  Same memory-safe
+    per-tap fori_loop as flow_warp_shift_sum, with one go-channel
+    accumulator per k-block so the weights are never expanded to the full
+    output width.
+    """
+    n, h, w, c_src = x.shape
+    go = flow_x.shape[-1]
+    offset_num = go // group_num
+    cg = c_src // group_num
+
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    fy = jnp.clip(iy + flow_y, 0.0, h - 1.0) - iy  # (N, H, W, go)
+    fx = jnp.clip(ix + flow_x, 0.0, w - 1.0) - ix
+
+    # block-layout source: channel c' = k*go + j holds feature group
+    # (j % group_num)'s k-th channel
+    planes = [x[..., k::cg] for k in range(cg)]  # (N, H, W, group_num) each
+    x_blk = jnp.concatenate([p for plane in planes
+                             for p in (plane,) * offset_num], axis=-1)
+    c_out = x_blk.shape[-1]
+
+    taps = 2 * bound + 2
+    xp = jnp.pad(x_blk,
+                 ((0, 0), (bound, bound + 1), (bound, bound + 1), (0, 0)))
+
+    one = jnp.float32(1.0)
+
+    def tap_body(t, accs):
+        dy = (t // taps - bound).astype(jnp.float32)
+        dx = (t % taps - bound).astype(jnp.float32)
+        wy = jnp.maximum(one - jnp.abs(fy - dy), 0.0)
+        wx = jnp.maximum(one - jnp.abs(fx - dx), 0.0)
+        wgt = wy * wx
+        xs = jax.lax.dynamic_slice(
+            xp, (0, t // taps, t % taps, 0), (n, h, w, c_out))
+        return tuple(
+            accs[k] + jax.lax.slice_in_dim(xs, k * go, (k + 1) * go,
+                                           axis=3) * wgt
+            for k in range(cg))
+
+    zero = jnp.zeros((n, h, w, go), x_blk.dtype)
+    accs = jax.lax.fori_loop(0, taps * taps, tap_body, (zero,) * cg)
+    return jnp.concatenate([a * mask for a in accs], axis=-1)

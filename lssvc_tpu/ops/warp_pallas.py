@@ -33,6 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .warp import flow_warp as _flow_warp_xla
+from .warp import flow_warp_shift_sum as _shift_sum
+from .warp import grouped_warp_shift_sum as _grouped_shift_sum
+
+# flows at or below this bound take the shift-sum path: exact bilinear as a
+# (2b+2)^2-term fused elementwise sum — no gathers, ~10-20x faster than the
+# windowed pallas kernel at 1080p (which itself is ~5x over XLA's gather)
+_SHIFT_SUM_BOUND = 2
 
 TILE_C = 128
 _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
@@ -354,14 +361,23 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
     _, h, w, _ = x.shape
     fx = flow[..., 0]
     fy = flow[..., 1]
+    fmax = jnp.maximum(jnp.max(jnp.abs(fx)), jnp.max(jnp.abs(fy)))
+    tiny = fmax <= _SHIFT_SUM_BOUND
     in_bounds = (jnp.max(jnp.abs(fx)) <= d_h - 1) & \
         (jnp.max(jnp.abs(fy)) <= d_v - 1)
 
+    def windowed_or_gather(operands):
+        return jax.lax.cond(
+            in_bounds,
+            lambda ops: _flow_warp_pallas(ops[0], ops[1], ops[2], d_v, d_h),
+            lambda ops: _flow_warp_xla(ops[0], ops[3]),
+            operands)
+
     return jax.lax.cond(
-        in_bounds,
-        lambda operands: _flow_warp_pallas(operands[0], operands[1],
-                                           operands[2], d_v, d_h),
-        lambda operands: _flow_warp_xla(operands[0], operands[3]),
+        tiny,
+        lambda operands: _shift_sum(operands[0], operands[3],
+                                    _SHIFT_SUM_BOUND),
+        windowed_or_gather,
         (x, fx, fy, flow))
 
 
@@ -389,6 +405,8 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     if jax.default_backend() != "tpu":
         return slow((x, flow_x, flow_y, mask))
 
+    fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))
+    tiny = fmax <= _SHIFT_SUM_BOUND
     in_bounds = (jnp.max(jnp.abs(flow_x)) <= d_h - 1) & \
         (jnp.max(jnp.abs(flow_y)) <= d_v - 1)
 
@@ -396,4 +414,13 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         x_, fx_, fy_, m_ = operands
         return _grouped_warp_pallas(x_, fx_, fy_, m_, d_v, d_h, group_num)
 
-    return jax.lax.cond(in_bounds, fast, slow, (x, flow_x, flow_y, mask))
+    def windowed_or_gather(operands):
+        return jax.lax.cond(in_bounds, fast, slow, operands)
+
+    return jax.lax.cond(
+        tiny,
+        lambda operands: _grouped_shift_sum(operands[0], operands[1],
+                                            operands[2], operands[3],
+                                            group_num, _SHIFT_SUM_BOUND),
+        windowed_or_gather,
+        (x, flow_x, flow_y, mask))

@@ -92,3 +92,48 @@ def test_pallas_warp_tall_tile_path():
     ref = flow_warp(x, flow)
     out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_shift_sum_warp_exact():
+    from lssvc_tpu.ops.warp import flow_warp_shift_sum
+
+    x = _rand((1, 14, 150, 4), 11)
+    for bound, scale in ((1, 0.9), (2, 1.9), (3, 2.9)):
+        flow = jnp.clip(_rand((1, 14, 150, 2), 12, scale=2.0), -scale, scale)
+        ref = flow_warp(x, flow)
+        out = flow_warp_shift_sum(x, flow, bound)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+
+def test_shift_sum_warp_border_clamp():
+    from lssvc_tpu.ops.warp import flow_warp_shift_sum
+
+    # outward flow at the borders must replicate edge samples, same as
+    # flow_warp's clamp; bound applies to the raw flow, the clamped
+    # effective flow stays within it
+    x = _rand((1, 14, 150, 2), 13)
+    flow = jnp.full((1, 14, 150, 2), 1.8, jnp.float32)
+    ref = flow_warp(x, flow)
+    out = flow_warp_shift_sum(x, flow, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_shift_sum_grouped_exact():
+    from lssvc_tpu.ops.warp import flow_warp_grouped, grouped_warp_shift_sum
+
+    group_num, offset_num, cg = 2, 2, 2
+    go = group_num * offset_num
+    h, w = 14, 150
+    x = _rand((1, h, w, group_num * cg), 14)
+    fx = jnp.clip(_rand((1, h, w, go), 15, scale=1.5), -1.9, 1.9)
+    fy = jnp.clip(_rand((1, h, w, go), 16, scale=1.5), -1.9, 1.9)
+    mask = jnp.abs(_rand((1, h, w, go), 17))
+
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate(
+        [p for plane in planes for p in (plane,) * offset_num], axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate(
+        [mask] * cg, axis=-1)
+    out = grouped_warp_shift_sum(x, fx, fy, mask, group_num, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

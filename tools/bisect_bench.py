@@ -64,6 +64,15 @@ def patch(variant):
             x, (x.shape[1] * 2, x.shape[2] * 2))
         comp.bilinear_downsample2 = lambda x: x[:, ::2, ::2, :]
         blocks.bilinear_upsample2 = comp.bilinear_upsample2
+    elif variant == "od_warp_stub":
+        # keep OD preamble convs + fusion, stub ONLY the grouped warp
+        blocks.grouped_warp_auto = (
+            lambda x, fx, fy, m, g, **kw: jnp.concatenate([x, x], axis=-1))
+    elif variant == "no_single_warps":
+        ident = lambda x, flow, **kw: x
+        comp.flow_warp = ident
+        dmc.flow_warp = ident
+        lssvc.flow_warp = ident
     elif variant == "no_offset_diversity":
         def od_stub(p, x, aux, flow, **kw):
             return x
