@@ -50,12 +50,14 @@ def _pad_to(v, m):
 
 
 def _pick_tile_r(h):
-    """Taller tiles amortize the window margin; short images would waste the
-    height padding instead."""
-    if h >= 512:
-        return 64
-    if h >= 128:
-        return 32
+    """8 everywhere: each window row is processed against the WHOLE
+    (tr, 128) tile, so per-output-pixel vector work scales with
+    win_r = tr + 2*d_v + 2 alone — smaller tiles do strictly less VPU work
+    (tr=8/d_v=27: 64 rows vs tr=64's 120; measured 107 ms vs 220 ms for a
+    48-ch 1080p warp).  The price is window-DMA read amplification
+    ((64*256)/(8*128) = 16x), but that is ~8 ms of HBM traffic at 1080p —
+    noise next to the gather arithmetic."""
+    del h
     return 8
 
 
