@@ -64,6 +64,18 @@ def patch(variant):
             x, (x.shape[1] * 2, x.shape[2] * 2))
         comp.bilinear_downsample2 = lambda x: x[:, ::2, ::2, :]
         blocks.bilinear_upsample2 = comp.bilinear_upsample2
+    elif variant == "no_bits":
+        zero_bits = lambda *a: (jnp.zeros(()), None)
+        dmc.factorized_bits = zero_bits
+        dmc.laplace_bits = zero_bits
+        lssvc.factorized_bits = zero_bits
+        lssvc.laplace_bits = zero_bits
+    elif variant == "no_gdn":
+        ident_gdn = lambda p, x, inverse=False: x
+        comp.gdn_p = ident_gdn
+        dmc.gdn_p = ident_gdn
+        import lssvc_tpu.models.lssvc_blocks as _b
+        _b.gdn_p = ident_gdn
     elif variant == "od_warp_stub":
         # keep OD preamble convs + fusion, stub ONLY the grouped warp
         blocks.grouped_warp_auto = (
