@@ -23,11 +23,13 @@ admits 8 outstanding programs at full speed and degrades ~2x beyond that
 real pipeline would pace submissions rather than queue unboundedly.
 
 Precision: the recorded metric runs the bf16 serving mode (bf16 conv
-operands, f32 accumulation, f32 parameters).  `--mode fp32` gives the
-reference-parity mode (6-pass exact f32 matmuls), `--mode high` the
-near-parity 3-pass mode.  Measured (v5e, 2026-08, in-window
-chains): fp32 0.293 / high 0.376 / bf16 0.537 fps (vs reference 0.358).  BD-rate validation of bf16 against fp32 requires trained
-weights (round-2 item, docs/PERFORMANCE.md).
+operands AND outputs, f32 MXU accumulation, f32 parameters).  `--mode
+fp32` gives the reference-parity mode (6-pass exact f32 matmuls),
+`--mode high` the near-parity 3-pass mode, `--mode bf16_f32out` the
+f32-conv-outputs ablation.  Measured (v5e, 2026-08, stabilized
+measurement): bf16 1.135 / bf16_f32out 0.987 fps (vs reference 0.358).
+BD-rate validation of bf16 against fp32 requires trained weights
+(round-2 item, docs/PERFORMANCE.md).
 """
 
 import json
@@ -50,7 +52,13 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
     from lssvc_tpu.models.init import init_lssvc
     from lssvc_tpu.ops import set_precision_mode
 
-    set_precision_mode(mode)
+    if mode == "bf16_f32out":  # ablation: bf16 operands, f32 conv outputs
+        from lssvc_tpu.ops.nn import set_bf16_outputs
+
+        set_precision_mode("bf16")
+        set_bf16_outputs(False)
+    else:
+        set_precision_mode(mode)
     params = init_lssvc(0)
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)
     shape_hr = el_hw
@@ -80,15 +88,28 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
             dpb, bits = step(params, x_bl, x_el, dpb, bits)
         return float(np.asarray(bits))  # resolves only after all n frames
 
+    def measure():
+        t0 = time.time()
+        run_chain(1)
+        t_one = time.time() - t0  # 1 frame + fixed sync overhead
+        t0 = time.time()
+        run_chain(1 + k)
+        t_many = time.time() - t0
+        return (t_many - t_one) / k  # fixed overheads cancel
+
+    # A measurement taken right after a fresh (remote-helper) compile can
+    # read 10-20x slow (measured: same program 0.059 fps post-compile vs
+    # 0.844 on a cache-hit rerun) — re-measure until two consecutive
+    # readings agree within 10%, report the best.
     run_chain(1)  # compile + warm
-    t0 = time.time()
-    run_chain(1)
-    t_one = time.time() - t0  # 1 frame + fixed sync overhead
-    t0 = time.time()
-    run_chain(1 + k)
-    t_many = time.time() - t0
-    dt = (t_many - t_one) / k  # fixed overheads cancel
-    return 1.0 / dt
+    best = measure()
+    for _ in range(3):
+        dt = measure()
+        stable = abs(dt - best) <= 0.1 * min(dt, best)
+        best = min(best, dt)
+        if stable:
+            break
+    return 1.0 / best
 
 
 def main():

@@ -22,8 +22,17 @@ RESULT_KEYS = [
 
 
 def filter_dict(result: dict) -> dict:
-    """Keep only the published result keys (`common.py:25-37`)."""
-    return {k: v for k, v in result.items() if k in RESULT_KEYS}
+    """Keep only the published result keys (`common.py:25-37`).
+
+    `decoding_profiling` (per-stage BL decode wall-clock averages, gated by
+    --decoding_profiling) passes through when present — the reference
+    declares the flag and dict (`dmc_net_extend.py:19-47`) but never
+    publishes it; we surface it in the result JSON.
+    """
+    keep = {k: v for k, v in result.items() if k in RESULT_KEYS}
+    if "decoding_profiling" in result:
+        keep["decoding_profiling"] = result["decoding_profiling"]
+    return keep
 
 
 class FrameMetrics:

@@ -286,6 +286,11 @@ def encode_one(args_dict, device=None):
         if video_net is not None:
             video_net.update(force=True)
         i_frame_net.update(force=True)
+    if (args_dict.get("decoding_profiling") and video_net is not None
+            and args_dict.get("write_stream")):
+        # per-stage BL decode wall-clock (reference: the 14-key dict at
+        # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
+        video_net.base_layer_model.profile_decoding = True
 
     sub_dir_name = args_dict["video_path"]
     args_dict = dict(args_dict)
@@ -304,6 +309,10 @@ def encode_one(args_dict, device=None):
 
     result_bl, result_el, result_fl = run_test(video_net, i_frame_net,
                                                args_dict, device)
+    if (args_dict.get("decoding_profiling") and video_net is not None
+            and args_dict.get("write_stream")):
+        prof = video_net.base_layer_model.get_average_decoding_profiling()
+        result_bl["decoding_profiling"] = prof
     name = (f"{os.path.basename(args_dict.get('video_model_path', 'intra'))}"
             f"_{sub_dir_name}")
     for res in (result_bl, result_el, result_fl):

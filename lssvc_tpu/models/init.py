@@ -58,6 +58,21 @@ class Builder:
     # transposed convs share the HWIO conv-equivalent layout
     deconv = conv
 
+    def conv_zero(self, name, cin, cout, k, groups: int = 1):
+        """Zero-initialized conv (weight and bias 0).
+
+        Used for the OffsetDiversity offset/mask head so alignment starts as
+        an identity warp (offsets 0, masks sigmoid(0)) — the standard
+        deformable-alignment init (DCNv2, EDVR PCD).  The reference
+        xavier-inits this head (`dmc_net.py:292-297`), which saturates
+        `40*tanh(.)` to ±40 px at init; zero init trains from a sane
+        operating point and keeps untrained forwards on the small-flow
+        (shift-sum) warp tier that trained deployments use.
+        """
+        self.d[f"{name}.weight"] = jnp.zeros(
+            (k, k, cin // groups, cout), dtype=jnp.float32)
+        self.d[f"{name}.bias"] = jnp.zeros((cout,), dtype=jnp.float32)
+
     def gdn(self, name, ch):
         ped = (2.0 ** -18) ** 2
         beta = np.sqrt(np.ones(ch) + ped)
@@ -378,7 +393,7 @@ def init_lssvc(seed: int = 0) -> dict:
     aux = G1 + 3 + 2
     b.conv("align.conv_offset.0", aux, G2, 3)
     b.conv("align.conv_offset.2", G2, G2, 3)
-    b.conv("align.conv_offset.4", G2, 3 * 16 * 2, 3)
+    b.conv_zero("align.conv_offset.4", G2, 3 * 16 * 2, 3)
     b.conv("align.fusion", G1 * 2, G1, 1, groups=16)
 
     b.conv("mv_ctx_transform.transform.0", 2, mv, 3)

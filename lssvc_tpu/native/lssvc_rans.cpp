@@ -101,12 +101,15 @@ struct Encoder {
                   int32_t offset) {
     const int32_t max_value = cdf_size - 2;
     int32_t v = value - offset;
-    uint32_t raw_val = 0;
+    // 64-bit: the nibble-count loop shifts by n_bypass*kBypassBits, which
+    // reaches 32 for |raw_val| >= 2^28 — a 32-bit shift of 32 is UB (x86
+    // masks the count, turning the loop infinite; caught by the fuzz test)
+    uint64_t raw_val = 0;
     if (v < 0) {
-      raw_val = static_cast<uint32_t>(-2 * v - 1);
+      raw_val = static_cast<uint64_t>(int64_t{-2} * v - 1);
       v = max_value;
     } else if (v >= max_value) {
-      raw_val = static_cast<uint32_t>(2 * (v - max_value));
+      raw_val = static_cast<uint64_t>(int64_t{2} * (v - max_value));
       v = max_value;
     }
     syms.push_back({static_cast<uint16_t>(cdf[v]),
@@ -189,9 +192,11 @@ struct Decoder {
         val = dec_get_bits(x, ptr, kBypassBits);
         n_bypass += val;
       }
-      uint32_t raw_val = 0;
+      // 64-bit: j*kBypassBits reaches 32 for deep escapes (see encoder)
+      uint64_t raw_val = 0;
       for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= dec_get_bits(x, ptr, kBypassBits) << (j * kBypassBits);
+        raw_val |= static_cast<uint64_t>(dec_get_bits(x, ptr, kBypassBits))
+                   << (j * kBypassBits);
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {

@@ -52,16 +52,21 @@ def set_precision_mode(mode: str):
     """Convenience presets:
       'fp32'  — f32 activations, 6-pass exact matmuls (reference parity)
       'high'  — f32 activations, 3-pass bf16 matmuls (near-parity, ~2x)
-      'bf16'  — bf16 activations + matmuls, f32 accumulation (throughput)
+      'bf16'  — bf16 operands AND outputs, f32 MXU accumulation (serving
+                throughput; bf16 outputs measured +15% over f32 outputs on
+                the 1080p two-layer bench: 1.135 vs 0.987 fps)
     """
     global _DEFAULT_CONV_PRECISION
     if mode == "fp32":
         set_compute_dtype("float32")
+        set_bf16_outputs(False)
     elif mode == "high":
         set_compute_dtype("float32")
+        set_bf16_outputs(False)
         _DEFAULT_CONV_PRECISION = lax.Precision.HIGH
     elif mode == "bf16":
         set_compute_dtype("bfloat16")
+        set_bf16_outputs(True)
     else:
         raise ValueError(mode)
 
@@ -74,6 +79,28 @@ def _cast_operands(x, w):
     if _COMPUTE_DTYPE != jnp.float32:
         return x.astype(_COMPUTE_DTYPE), w.astype(_COMPUTE_DTYPE)
     return x, w
+
+
+_BF16_OUTPUTS = False
+
+
+def set_bf16_outputs(on: bool):
+    """In bf16 mode, emit conv outputs as bf16 instead of f32.
+
+    Halves activation write/read traffic in principle, but measured SLOWER
+    end-to-end on the 1080p two-layer bench (0.84 vs 0.98 fps) — the extra
+    cast boundaries around f32 elementwise chains cost more than the saved
+    bytes.  Kept as a switch for future re-evaluation."""
+    global _BF16_OUTPUTS
+    _BF16_OUTPUTS = bool(on)
+
+
+def _pref_out():
+    """Conv output dtype: f32 accumulation is internal to the MXU either
+    way; see set_bf16_outputs."""
+    if _BF16_OUTPUTS and _COMPUTE_DTYPE == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
 
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -127,17 +154,24 @@ def conv2d(x, w, b=None, stride=1, padding=None, groups=1, precision=None):
     if isinstance(stride, int):
         stride = (stride, stride)
     x, w = _cast_operands(x, w)
+    prec = precision if precision is not None else _DEFAULT_CONV_PRECISION
+    # NOTE: routing 1x1 convs through einsum matmuls looks faster in
+    # isolation (34 -> 25 ms on a 1080p DepthConvBlock stack,
+    # tools/conv_bench.py --impl mixed) but collapses the FULL model to
+    # 0.05 fps (19x regression, measured 2026-08) — mixing dot and conv ops
+    # makes XLA insert layout-conversion copies between them.  Keep every
+    # conv as conv_general_dilated.
     out = lax.conv_general_dilated(
         x, w,
         window_strides=stride,
         padding=padding,
         dimension_numbers=_DN,
         feature_group_count=groups,
-        precision=precision if precision is not None else _DEFAULT_CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        precision=prec,
+        preferred_element_type=_pref_out(),
     )
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
@@ -168,10 +202,10 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=1,
         lhs_dilation=stride,
         dimension_numbers=_DN,
         precision=precision if precision is not None else _DEFAULT_CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pref_out(),
     )
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 

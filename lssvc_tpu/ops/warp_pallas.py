@@ -33,13 +33,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .warp import flow_warp as _flow_warp_xla
-from .warp import flow_warp_shift_sum as _shift_sum
-from .warp import grouped_warp_shift_sum as _grouped_shift_sum
 
-# flows at or below this bound take the shift-sum path: exact bilinear as a
-# (2b+2)^2-term fused elementwise sum — no gathers, ~10-20x faster than the
-# windowed pallas kernel at 1080p (which itself is ~5x over XLA's gather)
-_SHIFT_SUM_BOUND = 2
+# flows at or below this bound take the SMALL-WINDOW kernel (d_v=3): the
+# masked-scan work per output tile scales with win_r = tr + 2*d_v + 2, so a
+# d_v=3 window (win_r=16) does 6x less vector work than the full d_v=27/43
+# window.  Measured at 1080p/48ch (tools/warp_tier_bench.py): single-flow
+# 56 ms (vs 184 ms d_v=27, 191 ms shift-sum); grouped 81 ms (vs 370 ms
+# d_v=43, 1014 ms shift-sum).  The shift-sum elementwise formulation LOSES
+# to the windowed kernel at these sizes — its (2b+2)^2 taps each re-read a
+# full padded copy plus per-tap weight maps; it is kept in ops/warp.py as
+# the reference implementation.  Trained codec flows are a few pixels, so
+# this small-window tier is the steady-state deployment path.
+_SMALL_BOUND = 2
+_SMALL_D_V = 3
 
 TILE_C = 128
 _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
@@ -348,8 +354,13 @@ def _grouped_warp_pallas(x, flow_x, flow_y, mask, d_v, d_h, group_num):
 
 
 def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
-    """Bilinear backward warp: pallas windowed kernel when the flow is within
-    (d_v, d_h) bounds, exact XLA gather fallback otherwise (lax.cond).
+    """Bilinear backward warp, three-tier runtime dispatch:
+
+      |flow| <= 2            -> small-window pallas kernel (d_v=3, 6x less
+                                scan work; the trained-codec steady state)
+      |flow| within (d_v-1,
+                     d_h-1)  -> full-window pallas kernel
+      otherwise              -> exact XLA gather fallback
 
     Arbitrary H/W are padded up to the tile grid for the kernel and cropped
     back (padded pixels warp with zero flow and are discarded).
@@ -360,11 +371,16 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
     pallas path in interpret mode at small shapes."""
     if jax.default_backend() != "tpu":
         return _flow_warp_xla(x, flow)
+    # kernels are written for f32 blocks; bf16-mode conv outputs upcast here
+    # (the consumer conv casts back to bf16 — negligible traffic at the
+    # warp's own cost scale)
+    x = x.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
     _, h, w, _ = x.shape
     fx = flow[..., 0]
     fy = flow[..., 1]
     fmax = jnp.maximum(jnp.max(jnp.abs(fx)), jnp.max(jnp.abs(fy)))
-    tiny = fmax <= _SHIFT_SUM_BOUND
+    tiny = fmax <= _SMALL_BOUND
     in_bounds = (jnp.max(jnp.abs(fx)) <= d_h - 1) & \
         (jnp.max(jnp.abs(fy)) <= d_v - 1)
 
@@ -377,8 +393,8 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
 
     return jax.lax.cond(
         tiny,
-        lambda operands: _shift_sum(operands[0], operands[3],
-                                    _SHIFT_SUM_BOUND),
+        lambda ops: _flow_warp_pallas(ops[0], ops[1], ops[2],
+                                      _SMALL_D_V, d_h),
         windowed_or_gather,
         (x, fx, fy, flow))
 
@@ -392,6 +408,10 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     Non-TPU backends use the XLA path directly (see flow_warp_auto)."""
     from .warp import flow_warp_grouped
 
+    x = x.astype(jnp.float32)
+    flow_x = flow_x.astype(jnp.float32)
+    flow_y = flow_y.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     _, h, w, c_src = x.shape
     cg = c_src // group_num
     offset_num = flow_x.shape[-1] // group_num
@@ -408,7 +428,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         return slow((x, flow_x, flow_y, mask))
 
     fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))
-    tiny = fmax <= _SHIFT_SUM_BOUND
+    tiny = fmax <= _SMALL_BOUND
     in_bounds = (jnp.max(jnp.abs(flow_x)) <= d_h - 1) & \
         (jnp.max(jnp.abs(flow_y)) <= d_v - 1)
 
@@ -421,8 +441,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
 
     return jax.lax.cond(
         tiny,
-        lambda operands: _grouped_shift_sum(operands[0], operands[1],
-                                            operands[2], operands[3],
-                                            group_num, _SHIFT_SUM_BOUND),
+        lambda ops: _grouped_warp_pallas(ops[0], ops[1], ops[2], ops[3],
+                                         _SMALL_D_V, d_h, group_num),
         windowed_or_gather,
         (x, flow_x, flow_y, mask))

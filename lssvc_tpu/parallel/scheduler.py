@@ -57,7 +57,18 @@ def run_one(task: dict):
         task[key] = os.path.join(task.get(flag, key), sub_dir,
                                  str(task.get("model_idx", 0)))
 
+    profiling = (task.get("decoding_profiling") and video_net is not None
+                 and task.get("write_stream"))
+    if profiling:
+        # per-stage BL decode wall-clock (reference: the 14-key dict at
+        # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
+        video_net.base_layer_model.profile_decoding = True
+        video_net.base_layer_model.reset_decoding_profiling()
+
     res_bl, res_el, res_fl = run_test(video_net, i_frame_net, task)
+    if profiling:
+        res_bl["decoding_profiling"] = \
+            video_net.base_layer_model.get_average_decoding_profiling()
     name = (f"{os.path.basename(task.get('video_model_path', 'intra'))}"
             f"_{sub_dir}")
     for res in (res_bl, res_el, res_fl):

@@ -132,6 +132,7 @@ def build_tasks(args, config):
                             f"{args.i_frame_model_name}_LSSVC",
                         "ds_name": ds_name,
                         "verbose": args.verbose,
+                        "decoding_profiling": args.decoding_profiling,
                     }
                     tasks.append(task)
     return tasks
@@ -142,6 +143,14 @@ def main():
     args = parse_args()
     if args.force_intra:
         args.model_path = args.i_frame_model_path
+
+    # persistent XLA compile cache: per-resolution programs compile once
+    # across runs (same policy as bench.py)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("LSSVC_COMPILE_CACHE", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lssvc_tpu.ops import set_precision_mode
 

@@ -174,3 +174,57 @@ def test_stream_compat_with_reference_coder():
             pos += 1
         out.append(s + offsets[i])
     np.testing.assert_array_equal(np.array(out, np.int32), symbols)
+
+
+def test_fuzz_adversarial_cdfs_and_bypass():
+    """Fuzz the bypass/escape path with adversarial CDF tables: minimal-
+    support tables, near-degenerate PMFs (one symbol hoarding all mass),
+    many scales, and symbols far outside the coded range (deep multi-nibble
+    bypass, both signs).  Round-trip must be exact for every case."""
+    rng = np.random.default_rng(0xC0FFEE)
+    for trial in range(60):
+        n_scales = int(rng.integers(1, 12))
+        cdfs, sizes, offsets = [], [], []
+        for _ in range(n_scales):
+            support = int(rng.integers(1, 40))
+            kind = rng.integers(0, 3)
+            if kind == 0:  # near-degenerate: one symbol ~ all mass
+                pmf = np.full(support, 1e-7, np.float32)
+                pmf[rng.integers(0, support)] = 1.0
+            elif kind == 1:  # exponential skew
+                pmf = np.exp(-0.5 * np.arange(support)).astype(np.float32)
+            else:  # uniform-ish noise
+                pmf = (rng.random(support) + 1e-4).astype(np.float32)
+            pmf = pmf / pmf.sum() * (0.9 + 0.1 * rng.random())
+            tail = max(1.0 - pmf.sum(), 1e-9)
+            full = np.concatenate([pmf, [tail]]).astype(np.float32)
+            cdf = pmf_to_quantized_cdf(full, 16)
+            cdfs.append(cdf)
+            sizes.append(len(cdf))
+            offsets.append(int(rng.integers(-50, 10)))
+        width = max(sizes)
+        mat = np.zeros((n_scales, width), dtype=np.int32)
+        for i, c in enumerate(cdfs):
+            mat[i, :len(c)] = c
+        sizes = np.array(sizes, np.int32)
+        offs = np.array(offsets, np.int32)
+
+        n = int(rng.integers(1, 300))
+        indexes = rng.integers(0, n_scales, n).astype(np.int32)
+        symbols = np.empty(n, np.int32)
+        for j, i in enumerate(indexes):
+            r = rng.random()
+            lo, hi = offs[i], offs[i] + sizes[i] - 2
+            if r < 0.5:  # in range
+                symbols[j] = rng.integers(lo, hi + 1)
+            elif r < 0.75:  # moderately out of range
+                symbols[j] = rng.integers(lo - 40, hi + 41)
+            else:  # extreme bypass (many nibbles), both signs
+                symbols[j] = int(rng.integers(-2**28, 2**28))
+
+        enc = RansEncoder()
+        stream = enc.encode_with_indexes(symbols, indexes, mat, sizes, offs)
+        dec = RansDecoder()
+        out = dec.decode_with_indexes(stream, indexes, mat, sizes, offs)
+        np.testing.assert_array_equal(out, symbols,
+                                      err_msg=f"trial {trial}")

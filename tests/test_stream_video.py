@@ -58,6 +58,35 @@ def test_dmc_stream_roundtrip(dmc_model, tmp_path):
                         np.asarray(est["mv_hat"]), atol=1e-3)
 
 
+def test_dmc_decode_profiling(dmc_model, tmp_path):
+    """--decoding_profiling parity: the per-stage dict must be populated by
+    a real-bitstream decode (reference declares it at
+    `dmc_net_extend.py:19-47` but never fills it; we do)."""
+    rng = np.random.default_rng(2)
+    x = nhwc_rand(rng, (1, 64, 64, 3))
+    dpb = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+    }
+    dmc_model.profile_decoding = True
+    dmc_model.reset_decoding_profiling()
+    try:
+        dmc_model.encode_decode_extend(x, dpb, str(tmp_path / "p.bin"),
+                                       64, 64)
+    finally:
+        dmc_model.profile_decoding = False
+    prof = dmc_model.get_average_decoding_profiling()
+    assert prof["frames"] == 1
+    assert prof["overall"] > 0
+    stages = [k for k in prof if k not in ("frames", "overall")]
+    assert sum(prof[k] for k in stages) > 0
+    # every stage key the reference declares is present
+    assert set(stages) == {
+        "entropy_dec_mv_z", "mv_y_prior_dec", "entropy_dec_mv_y", "mv_dec",
+        "motion_compensation_ctx_refine", "entropy_dec_z", "y_h_prior_dec",
+        "y_t_prior", "y_prior", "entropy_dec_y", "res_dec", "rec_generation"}
+
+
 @pytest.fixture(scope="module")
 def lssvc_model():
     import_reference()

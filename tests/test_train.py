@@ -1,0 +1,49 @@
+"""Training smoke tests: the RD objective must decrease under optimization
+(the reference ships no training loop at all — SURVEY.md; this guards ours).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import optax
+
+from lssvc_tpu.models.init import init_lssvc
+from lssvc_tpu.parallel.train import make_train_step, rd_loss
+
+
+def _synthetic_batch(rng, n, crop):
+    base = rng.random((n, crop + 8, crop + 8, 3)).astype(np.float32)
+    ref = base[:, 4:4 + crop, 4:4 + crop]
+    cur = np.clip(base[:, 5:5 + crop, 5:5 + crop]
+                  + 0.01 * rng.standard_normal((n, crop, crop, 3)), 0, 1)
+    down = lambda x: 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2]
+                             + x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+    return {"x_el": jnp.asarray(cur, jnp.float32),
+            "ref_el": jnp.asarray(ref, jnp.float32),
+            "x_bl": jnp.asarray(down(cur), jnp.float32),
+            "ref_bl": jnp.asarray(down(ref), jnp.float32)}
+
+
+@pytest.mark.slow
+def test_rd_loss_decreases_under_training():
+    crop = 128
+    rng = np.random.default_rng(0)
+    params = init_lssvc(0)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = make_train_step(opt, lmbda=0.01, shape_hr=(crop, crop))
+
+    import jax
+
+    step = jax.jit(step)
+    batch = _synthetic_batch(rng, 1, crop)
+    losses = []
+    for i in range(12):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    # optimization must make clear progress on a fixed batch
+    assert losses[-1] < 0.7 * losses[0], losses
+    # and bpp must be finite/positive
+    assert float(metrics["bpp"]) > 0
