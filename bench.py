@@ -38,7 +38,7 @@ import time
 BASELINE_FPS = 1.0 / (1.44 + 1.35)
 
 
-def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
+def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,6 +57,11 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
 
         set_precision_mode("bf16")
         set_bf16_outputs(False)
+    elif mode == "bf16_einsum":  # ablation: 1x1 convs as einsum matmuls
+        from lssvc_tpu.ops.nn import set_conv1x1_einsum
+
+        set_precision_mode("bf16")
+        set_conv1x1_einsum(True)
     else:
         set_precision_mode(mode)
     params = init_lssvc(0)
@@ -71,14 +76,17 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
             shape_hr, 2.0, (0, 0, 0, 0))
         return out["dpb"], bits_acc + out["bit_bl"] + out["bit_el"]
 
+    # batch = independent sequences coded concurrently on the chip
+    # (the codec is fully convolutional; batching amortizes per-op
+    # dispatch/layout overhead on this overhead-bound graph)
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
-    x_bl = jax.random.uniform(ks[0], (1, *bl_hw, 3))
-    x_el = jax.random.uniform(ks[1], (1, *el_hw, 3))
+    x_bl = jax.random.uniform(ks[0], (batch, *bl_hw, 3))
+    x_el = jax.random.uniform(ks[1], (batch, *el_hw, 3))
     dpb0 = {
-        "ref_frame_bl": jax.random.uniform(ks[2], (1, *bl_hw, 3)),
-        "ref_frame_el": jax.random.uniform(ks[3], (1, *el_hw, 3)),
-        "ref_feature_bl": jax.random.uniform(ks[4], (1, *bl_hw, 64)),
-        "ref_feature_el": jax.random.uniform(ks[5], (1, *el_hw, 48)),
+        "ref_frame_bl": jax.random.uniform(ks[2], (batch, *bl_hw, 3)),
+        "ref_frame_el": jax.random.uniform(ks[3], (batch, *el_hw, 3)),
+        "ref_feature_bl": jax.random.uniform(ks[4], (batch, *bl_hw, 64)),
+        "ref_feature_el": jax.random.uniform(ks[5], (batch, *el_hw, 48)),
     }
 
     def run_chain(n):
@@ -109,7 +117,7 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16"):
         best = min(best, dt)
         if stable:
             break
-    return 1.0 / best
+    return batch / best
 
 
 def main():
@@ -119,12 +127,15 @@ def main():
     mode = "bf16"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
 
     fps = None
     metric = None
     for el_hw, tag in (((1152, 1920), "1080p"), ((768, 1280), "720p")):
         try:
-            fps = bench_chain(el_hw=el_hw, mode=mode)
+            fps = bench_chain(el_hw=el_hw, mode=mode, batch=batch)
             metric = f"two_layer_{tag}_fps_per_chip"
             break
         except Exception:

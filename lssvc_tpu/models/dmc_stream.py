@@ -3,11 +3,23 @@
 Behavioral contract: `/root/reference/src/models/dmc_net_extend.py:55-147` —
 stream order mv_z, mv_y, z, y in ONE buffered rANS stream per frame.
 
-TPU-first structure: the encoder runs one jitted program that produces every
-symbol/index plane, which then cross to the host once each for entropy
-coding.  The decoder is split into 4 jitted stages at the unavoidable
-entropy-decode boundaries (each decoded tensor conditions the next priors);
-intermediate activations stay on device between stages.
+TPU-first structure: the decoder is split into 4 jitted stages at the
+unavoidable entropy-decode boundaries (each decoded tensor conditions the
+next priors); intermediate activations stay on device between stages.
+
+**Closed-loop staged encoding**: the encoder derives every scale-index and
+means plane by running the DECODER's own jitted stage functions on the
+quantized symbol planes (int32-normalized, exactly as the decoder will see
+them), with only the pure analysis transforms (ME+mv AE front, res AE front)
+in encoder-only programs.  Computing priors in a separate fused encoder
+program (as the torch reference does — both sides there share kernels
+bit-exactly, dmc_net_extend.py:55-147) is unsafe under XLA: encoder and
+decoder executables fuse differently, last-bit float differences flip
+quantized scale-index buckets, and a single flipped index desynchronizes the
+rANS stream for the rest of the frame.  With shared executables the encoder's
+DPB is bit-identical to the decoder's by construction — `compress` returns
+the true decoded-picture buffer and no verification decode is needed for
+correctness.
 """
 
 from __future__ import annotations
@@ -31,44 +43,87 @@ from .dmc import (
 )
 
 
+def _f32(a):
+    return a.astype(jnp.float32)
+
+
 @jax.jit
-def _encode_planes(params, x, ref_frame, ref_feature):
-    out = dmc.forward_inter(params, x, ref_frame, ref_feature)
-    return {
-        "mv_z_hat": out["mv_z_hat"].astype(jnp.int32),
-        "mv_y_q": out["mv_y_q"].astype(jnp.int32),
-        "mv_idx": build_indexes_video(out["mv_scales_hat"]),
-        "z_hat": out["z_hat"].astype(jnp.int32),
-        "y_q": out["y_q"].astype(jnp.int32),
-        "y_idx": build_indexes_video(out["scales_hat"]),
-        "recon_image": out["recon_image"],
-        "feature": out["feature"],
-        "y_hat": out["y_hat"],
-        "mv_hat": out["mv_hat"],
+def _enc_mv_analysis(params, x, ref_frame):
+    """Encoder-only motion analysis front: SpyNet -> mv AE -> hyper AE."""
+    p = P(params)
+    est_mv = dmc.me_spynet(p.sub("optic_flow"), x, ref_frame)
+    mv_y = dmc.mv_encoder(p.sub("mv_encoder"), est_mv)
+    mv_z = dmc.hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
+    return mv_y, jnp.round(mv_z).astype(jnp.int32)
+
+
+@jax.jit
+def _enc_res_analysis(params, x, c1, c2, c3):
+    """Encoder-only residual analysis front: contextual AE -> hyper AE."""
+    from .components import gdn_res_encoder
+
+    p = P(params)
+    y = gdn_res_encoder(p.sub("res_encoder"), x, c1, c2, c3)
+    z = dmc.hyper_encoder(p.sub("res_prior_encoder"), y)
+    return y, jnp.round(z).astype(jnp.int32)
+
+
+@jax.jit
+def _quantize_i(y, means):
+    """Symbol plane: round(y - means), int32-normalized (the exact value
+    domain the host coder transports and the decoder stages consume)."""
+    return jnp.round(y - means).astype(jnp.int32)
+
+
+def encode_device(params, x, ref_frame, ref_feature):
+    """All device work for one BL frame, closed-loop staged (see module
+    docstring).  Returns (planes, dpb); nothing crosses to the host."""
+    mv_y, mv_z_i = _enc_mv_analysis(params, x, ref_frame)
+    mv_idx, mv_means = _dec_stage_mv_prior(params, _f32(mv_z_i))
+    mv_y_q_i = _quantize_i(mv_y, mv_means)
+    mv_hat, c1, c2, c3 = _dec_stage_contexts(params, _f32(mv_y_q_i), mv_means,
+                                             ref_frame, ref_feature)
+    y, z_i = _enc_res_analysis(params, x, c1, c2, c3)
+    y_idx, y_means = _dec_stage_y_prior(params, _f32(z_i), c1, c2, c3)
+    y_q_i = _quantize_i(y, y_means)
+    recon, feature, y_hat = _dec_stage_recon(params, _f32(y_q_i), y_means,
+                                             c1, c2, c3)
+    planes = {
+        "mv_z_hat": mv_z_i,
+        "mv_y_q": mv_y_q_i,
+        "mv_idx": mv_idx,
+        "z_hat": z_i,
+        "y_q": y_q_i,
+        "y_idx": y_idx,
     }
+    dpb = {
+        # bit-identical to what decompress reconstructs from the stream
+        "ref_frame_bl": recon,
+        "ref_feature_bl": feature,
+        "y_hat_bl": y_hat,
+        "mv_hat_bl": mv_hat,
+    }
+    return planes, dpb
+
+
+def write_planes(coder, planes):
+    """Host half: rANS-encode one BL frame's planes (order per
+    dmc_net_extend.py:87-92).  Blocks on device values via np.asarray."""
+    coder.reset_encoder()
+    coder.encode_factorized(np.asarray(planes["mv_z_hat"]), coder.z_mv_table)
+    coder.encode_gaussian(np.asarray(planes["mv_y_q"]),
+                          np.asarray(planes["mv_idx"]))
+    coder.encode_factorized(np.asarray(planes["z_hat"]), coder.z_table)
+    coder.encode_gaussian(np.asarray(planes["y_q"]),
+                          np.asarray(planes["y_idx"]))
+    return coder.flush()
 
 
 def compress(model, x, dpb):
-    coder = model._coder
-    planes = _encode_planes(model.params, x, dpb["ref_frame_bl"],
-                            dpb["ref_feature_bl"])
-    coder.reset_encoder()
-    coder.encode_factorized(planes["mv_z_hat"], coder.z_mv_table)
-    coder.encode_gaussian(planes["mv_y_q"], planes["mv_idx"])
-    coder.encode_factorized(planes["z_hat"], coder.z_table)
-    coder.encode_gaussian(planes["y_q"], planes["y_idx"])
-    string = coder.flush()
-    return {
-        "string": string,
-        "dpb": {
-            # encoder-side recon is unclamped (ref clamps only on decode,
-            # dmc_net_extend.py:138) — callers use the decoded DPB anyway
-            "ref_frame_bl": planes["recon_image"],
-            "ref_feature_bl": planes["feature"],
-            "y_hat_bl": planes["y_hat"],
-            "mv_hat_bl": planes["mv_hat"],
-        },
-    }
+    planes, out_dpb = encode_device(model.params, x, dpb["ref_frame_bl"],
+                                    dpb["ref_feature_bl"])
+    string = write_planes(model._coder, planes)
+    return {"string": string, "dpb": out_dpb}
 
 
 @jax.jit

@@ -186,9 +186,17 @@ class IntraNoAR(Model):
         if self._coder is None or force:
             self._coder = IntraCoder(self.params)
 
-    def compress(self, x=None, y=None, z=None):
+    def compress(self, x=None, y=None, z=None, with_recon=False):
         """rANS-encode (y, z) -> {'strings': [y_strings, z_strings], 'shape'}
-        (`priors.py:420-437`)."""
+        (`priors.py:420-437`).
+
+        with_recon=True additionally returns the DECODER-exact
+        reconstruction ('x_hat', 'y_hat'): indexes/means already come from
+        the same `_hyper_params` executable `decompress` runs on the same
+        eb-round-tripped z_hat, and `_y_roundtrip`+`_synthesis` reproduce
+        its remaining steps bit-exactly — so callers that condition further
+        coding on the BL recon (IntraSS EL) see exactly the decoder state
+        without a verification decode."""
         from ..entropy.models import build_indexes_img
 
         if x is not None:
@@ -199,7 +207,12 @@ class IntraNoAR(Model):
         scales_hat, means_hat = jax.jit(_hyper_params)(self.params, z_hat)
         indexes = build_indexes_img(scales_hat)
         y_strings = self._coder.gc_compress(y, indexes, means_hat)
-        return {"strings": [y_strings, z_strings], "shape": hw}
+        out = {"strings": [y_strings, z_strings], "shape": hw}
+        if with_recon:
+            y_hat = jax.jit(_y_roundtrip)(y, means_hat)
+            out["y_hat"] = y_hat
+            out["x_hat"] = jax.jit(_synthesis)(self.params, y_hat)
+        return out
 
     def decompress(self, strings, shape):
         from ..entropy.models import build_indexes_img
@@ -234,6 +247,14 @@ def _hyper_params(params, z_hat):
 
 def _synthesis(params, y_hat):
     return g_s(P(params).sub("g_s"), y_hat)
+
+
+def _y_roundtrip(y, means):
+    """Decoder-exact y_hat: int-normalized round(y - means) plus means —
+    the value `gc_decompress` reconstructs (elementwise f32 add is IEEE
+    round-to-nearest on host numpy and XLA alike, so bit-identical)."""
+    sym = jnp.round(y - means).astype(jnp.int32)
+    return sym.astype(jnp.float32) + means
 
 
 def _recon_from_yz(params, y, z):

@@ -22,7 +22,6 @@ from .intra_ss import (
     el_analysis,
     el_priors,
     el_synthesis,
-    h_a,
 )
 
 
@@ -56,23 +55,32 @@ def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
     pad = model.pad_size
 
     # ---------------- encode ----------------
+    # Closed-loop BL: compress(with_recon=True) hands back the DECODER-exact
+    # (x_hat, y_hat) — everything the EL priors condition on must match the
+    # decoder bit-for-bit, else a last-bit scale difference can flip an EL
+    # index bucket and desynchronize the EL rANS stream (see
+    # dmc_stream.py docstring for the general rule).
     y_bl, z_bl = bl.get_y_z(x_bl)
-    compressed = bl.compress(y=y_bl, z=z_bl)
+    compressed = bl.compress(y=y_bl, z=z_bl, with_recon=True)
     encode_i(pic_height_bl, pic_width_bl, compressed["strings"][0][0],
              compressed["strings"][1][0], bin_path_bl)
     bit_bl = filesize(bin_path_bl) * 8
 
-    rec = jax.jit(_bl_recon)(bl.params, y_bl, z_bl)
-    x_hat_bl_depad = pad_nhwc(rec["x_hat"], pad)
-    y_hat_bl_depad = pad_nhwc(rec["y_hat"], tuple(int(v / 16) for v in pad))
+    x_hat_bl_depad = pad_nhwc(compressed["x_hat"], pad)
+    y_hat_bl_depad = pad_nhwc(compressed["y_hat"],
+                              tuple(int(v / 16) for v in pad))
 
-    y_el, z_el, ctx = _el_analysis_jit(model.params, x_el, x_hat_bl_depad,
+    y_el, z_el, _ = _el_analysis_jit(model.params, x_el, x_hat_bl_depad,
+                                     shape_hr)
+    # ctx3 for the EL priors comes from the decoder's own executable, not
+    # from el_analysis' fused program
+    _, _, c3_enc = _context_mining_jit(model.params, x_hat_bl_depad, None,
                                        shape_hr)
     z_strings = model._coder.eb_compress(z_el)
     z_hat = jnp.asarray(model._coder.eb_decompress(
         z_strings, (z_el.shape[1], z_el.shape[2])))
     idx, means = _el_prior_planes(model.params, z_hat, y_hat_bl_depad,
-                                  ctx[2], shape_hr)
+                                  c3_enc, shape_hr)
     y_strings = model._coder.gc_compress(y_el, idx, means)
     encode_i(pic_height_el, pic_width_el, y_strings[0], z_strings[0],
              bin_path_el)
@@ -104,11 +112,3 @@ def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
         "x_hat_el": x_hat_el,
         "feature_el": feature,
     }
-
-
-def _bl_recon(bl_params, y, z):
-    from .intra_noar import hyper_synthesis_quantize, g_s
-
-    y_hat, z_hat, _, _, _, _ = hyper_synthesis_quantize(bl_params, y, z)
-    x_hat = g_s(P(bl_params).sub("g_s"), y_hat)
-    return {"x_hat": x_hat, "y_hat": y_hat}

@@ -4,10 +4,18 @@ Behavioral contract: `/root/reference/src/models/LSSVC_net_extend.py:24-263`
 — stream order mv_z, mv_y, z, then the four checkerboard latent passes
 y_q_w_0..3, all in one buffered rANS stream.
 
-Encoder: one jitted program emits every symbol/index plane.  Decoder: jitted
-stages split at entropy-decode boundaries; the four-part prior decode
-alternates (device scale-plane computation) <-> (host rANS decode), with all
-other activations resident on device.
+Decoder: jitted stages split at entropy-decode boundaries; the four-part
+prior decode alternates (device scale-plane computation) <-> (host rANS
+decode), with all other activations resident on device.
+
+**Closed-loop staged encoding** (see dmc_stream.py docstring for the full
+rationale): the encoder derives every scale-index and means plane — including
+all four spatial-prior passes — by running the DECODER's own jitted stages on
+int32-normalized symbol planes; only the pure analysis fronts (EL SpyNet +
+mv AE, res AE) are encoder-only programs.  This makes encoder and decoder
+bit-identical by construction; a separately-fused encoder program would risk
+last-bit scale differences flipping index buckets and desynchronizing the
+rANS stream mid-frame.
 """
 
 from __future__ import annotations
@@ -23,11 +31,9 @@ from ..utils.stream import get_downsampled_shape
 from .four_part_prior import (
     PASS_MASKS,
     checkerboard_masks,
-    forward_four_part_prior,
     spatial_prior_net,
 )
 from .lssvc import (
-    el_motion_coding,
     el_recon_generation,
     el_res_decoder,
     el_res_encoder,
@@ -51,70 +57,117 @@ def _depad(dpb, pad_size):
     return texture, mv_bl_hat, y_bl_hat
 
 
-def _encode_planes(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
-                   y_bl_hat, shape_hr, scale_factor):
-    p = P(params)
-    mc = el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor)
-    c1, c2, c3, warp_frame = hybrid_context_fusion(
-        p, texture, mc["mv_hat"], ref_el, feature_el, shape_hr)
+def _f32(a):
+    return a.astype(jnp.float32)
 
+
+@jax.jit
+def _enc_mv_analysis(params, x_el, ref_el, mv_ctx):
+    """Encoder-only EL motion analysis front: SpyNet -> ctx-conditioned
+    mv AE -> hyper AE.  mv_ctx comes from the decoder's `_dec_mv_setup`."""
+    from .lssvc import me_spynet, mv_hyper_encoder, mv_res_encoder
+
+    p = P(params)
+    mv = me_spynet(p.sub("optic_flow"), x_el, ref_el)
+    mv_y = mv_res_encoder(p.sub("mv_encoder"), mv, mv_ctx)
+    mv_z = mv_hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
+    return mv_y, jnp.round(mv_z).astype(jnp.int32)
+
+
+@jax.jit
+def _enc_res_analysis(params, x_el, c1, c2, c3):
+    p = P(params)
     y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
     z = res_prior_encoder(p.sub("res_prior_encoder"), y)
-    z_hat = jnp.round(z)
-    hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
-    temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
-    layer_prior = layer_prior_resampler(
-        p.sub("layer_prior_resampler"), y_bl_hat,
-        (shape_hr[0] // 16, shape_hr[1] // 16))
-    common_params = prior_fusion(p.sub("prior_fusion_net"), hierarchical,
-                                 temporal, layer_prior)
+    return y, jnp.round(z).astype(jnp.int32)
 
-    write_syms, write_scales, y_hat = forward_four_part_prior(
-        p, y, common_params, write=True)
 
-    recon_feature = el_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
-    feature, recon_el = el_recon_generation(p.sub("recon_generation_net"),
-                                            recon_feature, c1)
-    return {
-        "mv_z_hat": mc["mv_z_hat"].astype(jnp.int32),
-        "mv_y_q": mc["mv_y_q"].astype(jnp.int32),
-        "mv_idx": build_indexes_video(mc["mv_scales_hat"]),
-        "z_hat": z_hat.astype(jnp.int32),
-        "y_syms": [s.astype(jnp.int32) for s in write_syms],
-        "y_idxs": [build_indexes_video(s) for s in write_scales],
-        "recon_el": recon_el,
-        "feature": feature,
-        "mv_hat": mc["mv_hat"],
-        "warp_frame": warp_frame,
+@jax.jit
+def _quantize_i(y, means):
+    return jnp.round(y - means).astype(jnp.int32)
+
+
+def _enc_pass_symbols(pass_idx, y, means_4_stacked):
+    """Symbol plane for one four-part-prior pass: each channel quarter's
+    round(y - means) on its pass mask, summed into one (1,h,w,C/4) plane
+    (disjoint masks; `LSSVC_net.py:338-443` write path).  means come from
+    the decoder's `_dec_pass_update` chain."""
+    _, h, w, _ = y.shape
+    masks = checkerboard_masks(h, w)
+    y_4 = jnp.split(y, 4, axis=-1)
+    sym = sum(jnp.round((y_4[q] - means_4_stacked[q]) * masks[m])
+              for q, m in enumerate(PASS_MASKS[pass_idx]))
+    return sym.astype(jnp.int32)
+
+
+_enc_pass_symbols_jit = jax.jit(_enc_pass_symbols, static_argnums=(0,))
+
+
+def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
+                  y_bl_hat, shape_hr, scale_factor):
+    """All device work for one EL frame, closed-loop staged.  Returns
+    (planes, dpb); the DPB is bit-identical to the decoder's."""
+    mv_ctx, mv_ctx_prior = _dec_mv_setup_jit(params, mv_bl_hat, shape_hr,
+                                             scale_factor)
+    mv_y, mv_z_i = _enc_mv_analysis(params, x_el, ref_el, mv_ctx)
+    mv_idx, mv_means = _dec_mv_prior(params, _f32(mv_z_i), mv_ctx_prior)
+    mv_y_q_i = _quantize_i(mv_y, mv_means)
+    mv_hat, c1, c2, c3, warp_frame = _dec_contexts_jit(
+        params, _f32(mv_y_q_i), mv_means, mv_ctx, texture, ref_el,
+        feature_el, shape_hr)
+    y, z_i = _enc_res_analysis(params, x_el, c1, c2, c3)
+    common = _dec_common_params_jit(params, _f32(z_i), c3, y_bl_hat, shape_hr)
+
+    half = common.shape[-1] // 2
+    means_4 = jnp.stack(jnp.split(common[..., half:], 4, axis=-1))
+    idx = _dec_pass0_scales(params, common)
+    y_syms, y_idxs = [], []
+    y_hat = None
+    for pass_idx in range(4):
+        sym_i = _enc_pass_symbols_jit(pass_idx, y, means_4)
+        y_syms.append(sym_i)
+        y_idxs.append(idx)
+        y_hat, idx, means_4 = _dec_pass_update_jit(
+            params, pass_idx, _f32(sym_i), y_hat, common, means_4)
+    recon_el, feature = _dec_recon(params, y_hat, c1, c2, c3)
+
+    planes = {
+        "mv_z_hat": mv_z_i,
+        "mv_y_q": mv_y_q_i,
+        "mv_idx": mv_idx,
+        "z_hat": z_i,
+        "y_syms": y_syms,
+        "y_idxs": y_idxs,
     }
+    dpb = {
+        "ref_frame_el": recon_el,
+        "ref_feature_el": feature,
+        "warp_frame": warp_frame,
+        "mv_hat": mv_hat,
+    }
+    return planes, dpb
 
 
-_encode_planes_jit = jax.jit(_encode_planes, static_argnums=(7, 8))
+def write_planes(coder, planes):
+    """Host half: rANS-encode one EL frame's planes (order per
+    LSSVC_net_extend.py:66-74)."""
+    coder.reset_encoder()
+    coder.encode_factorized(np.asarray(planes["mv_z_hat"]), coder.z_mv_table)
+    coder.encode_gaussian(np.asarray(planes["mv_y_q"]),
+                          np.asarray(planes["mv_idx"]))
+    coder.encode_factorized(np.asarray(planes["z_hat"]), coder.z_table)
+    for sym, idx in zip(planes["y_syms"], planes["y_idxs"]):
+        coder.encode_gaussian(np.asarray(sym), np.asarray(idx))
+    return coder.flush()
 
 
 def compress(model, x_el, dpb):
-    coder = model._coder
     texture, mv_bl_hat, y_bl_hat = _depad(dpb, model.pad_size)
-    planes = _encode_planes_jit(
+    planes, out_dpb = encode_device(
         model.params, x_el, dpb["ref_frame_el"], dpb["ref_feature_el"],
         texture, mv_bl_hat, y_bl_hat, model.shape_hr, model.scale_factor)
-
-    coder.reset_encoder()
-    coder.encode_factorized(planes["mv_z_hat"], coder.z_mv_table)
-    coder.encode_gaussian(planes["mv_y_q"], planes["mv_idx"])
-    coder.encode_factorized(planes["z_hat"], coder.z_table)
-    for sym, idx in zip(planes["y_syms"], planes["y_idxs"]):
-        coder.encode_gaussian(sym, idx)
-    string = coder.flush()
-    return {
-        "string": string,
-        "dpb": {
-            "ref_frame_el": planes["recon_el"],
-            "ref_feature_el": planes["feature"],
-            "warp_frame": planes["warp_frame"],
-            "mv_hat": planes["mv_hat"],
-        },
-    }
+    string = write_planes(model._coder, planes)
+    return {"string": string, "dpb": out_dpb}
 
 
 # --- decoder stages ---------------------------------------------------------
@@ -149,9 +202,9 @@ def _dec_contexts(params, mv_y_q, mv_means, mv_ctx, texture, ref_el,
     p = P(params)
     mv_y_hat = mv_y_q + mv_means
     mv_hat = mv_res_decoder(p.sub("mv_decoder"), mv_y_hat, mv_ctx)
-    c1, c2, c3, _ = hybrid_context_fusion(p, texture, mv_hat, ref_el,
-                                          feature_el, shape_hr)
-    return mv_hat, c1, c2, c3
+    c1, c2, c3, warp_frame = hybrid_context_fusion(p, texture, mv_hat, ref_el,
+                                                   feature_el, shape_hr)
+    return mv_hat, c1, c2, c3, warp_frame
 
 
 _dec_contexts_jit = jax.jit(_dec_contexts, static_argnums=(7,))
@@ -234,7 +287,7 @@ def decompress(model, string, height, width, dpb):
                                    coder.z_mv_table)
     mv_idx, mv_means = _dec_mv_prior(params, jnp.asarray(mv_z), mv_ctx_prior)
     mv_y_q = coder.decode_gaussian(np.asarray(mv_idx))
-    mv_hat, c1, c2, c3 = _dec_contexts_jit(
+    mv_hat, c1, c2, c3, _ = _dec_contexts_jit(
         params, jnp.asarray(mv_y_q), mv_means, mv_ctx, texture,
         dpb["ref_frame_el"], dpb["ref_feature_el"], shape_hr)
 

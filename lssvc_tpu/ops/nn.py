@@ -103,6 +103,20 @@ def _pref_out():
     return jnp.float32
 
 
+_CONV1X1_EINSUM = False
+
+
+def set_conv1x1_einsum(on: bool):
+    """Route 1x1/stride-1/ungrouped convs through an einsum matmul instead
+    of conv_general_dilated.  Mathematically identical; skips XLA:TPU's
+    batch-1 space-to-batch conv wrappers (34 -> 25 ms on a 1080p
+    DepthConvBlock stack, tools/conv_bench.py --impl mixed).  Off by
+    default pending a stabilized full-model A/B (an earlier 19x-regression
+    reading was a post-compile measurement artifact)."""
+    global _CONV1X1_EINSUM
+    _CONV1X1_EINSUM = bool(on)
+
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
@@ -155,12 +169,13 @@ def conv2d(x, w, b=None, stride=1, padding=None, groups=1, precision=None):
         stride = (stride, stride)
     x, w = _cast_operands(x, w)
     prec = precision if precision is not None else _DEFAULT_CONV_PRECISION
-    # NOTE: routing 1x1 convs through einsum matmuls looks faster in
-    # isolation (34 -> 25 ms on a 1080p DepthConvBlock stack,
-    # tools/conv_bench.py --impl mixed) but collapses the FULL model to
-    # 0.05 fps (19x regression, measured 2026-08) — mixing dot and conv ops
-    # makes XLA insert layout-conversion copies between them.  Keep every
-    # conv as conv_general_dilated.
+    if (_CONV1X1_EINSUM and kh == kw == 1 and groups == 1
+            and stride == (1, 1) and padding == ((0, 0), (0, 0))):
+        out = jnp.einsum("bhwc,co->bhwo", x, w[0, 0], precision=prec,
+                         preferred_element_type=_pref_out())
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
     out = lax.conv_general_dilated(
         x, w,
         window_strides=stride,

@@ -245,9 +245,15 @@ def _grouped_warp_kernel(fx_ref, fy_ref, mask_ref, x_ref, out_ref, win_ref,
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _flow_warp_pallas(x, flow_x, flow_y, d_v, d_h):
-    """x: (1, H, W, C); flow_x/flow_y: (1, H, W). Arbitrary H/W — padded to
-    the (tr, 128) tile grid internally; border clamping uses the TRUE size."""
-    _, h, w, c = x.shape
+    """x: (N, H, W, C); flow_x/flow_y: (N, H, W). Arbitrary H/W — padded to
+    the (tr, 128) tile grid internally; border clamping uses the TRUE size.
+    Batch is a static unroll of per-image kernel launches (batch-of-
+    sequences serving; launch cost is negligible at the kernel's scale)."""
+    n, h, w, c = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_flow_warp_pallas(x[b:b + 1], flow_x[b:b + 1], flow_y[b:b + 1],
+                               d_v, d_h) for b in range(n)], axis=0)
     tr = _pick_tile_r(h)
     win_r = tr + 2 * d_v + 2
     win_c = TILE_C + 2 * d_h + 2
@@ -295,9 +301,16 @@ def _flow_warp_pallas(x, flow_x, flow_y, d_v, d_h):
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _grouped_warp_pallas(x, flow_x, flow_y, mask, d_v, d_h, group_num):
-    """x: (1, H, W, C_src); flow_x/flow_y/mask: (1, H, W, go).
-    Returns (1, H, W, go * cg) in block channel layout c' = k*go + j."""
-    _, h, w, c_src = x.shape
+    """x: (N, H, W, C_src); flow_x/flow_y/mask: (N, H, W, go).
+    Returns (N, H, W, go * cg) in block channel layout c' = k*go + j.
+    Batch unrolls into per-image kernel launches (see _flow_warp_pallas)."""
+    n, h, w, c_src = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_grouped_warp_pallas(x[b:b + 1], flow_x[b:b + 1],
+                                  flow_y[b:b + 1], mask[b:b + 1],
+                                  d_v, d_h, group_num) for b in range(n)],
+            axis=0)
     go = flow_x.shape[-1]
     offset_num = go // group_num
     cg = c_src // group_num

@@ -62,6 +62,21 @@ def test_intra_compress_decompress_api(model):
                                np.asarray(est["y_hat"]), atol=1e-5)
 
 
+def test_intra_compress_with_recon_decoder_exact(model):
+    """compress(with_recon=True) must hand back BIT-identical tensors to a
+    real decompress of its own streams — the closed-loop guarantee the
+    IntraSS EL conditioning relies on."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), dtype=jnp.float32)
+    model.update(force=True)
+    compressed = model.compress(x=x, with_recon=True)
+    dec = model.decompress(compressed["strings"], compressed["shape"])
+    np.testing.assert_array_equal(np.asarray(compressed["y_hat"]),
+                                  np.asarray(dec["y_hat"]))
+    np.testing.assert_array_equal(np.asarray(compressed["x_hat"]),
+                                  np.asarray(dec["x_hat"]))
+
+
 def test_intra_ss_stream_roundtrip(tmp_path):
     """Two-file (BL+EL) IntraSS stream: encode -> decode must reproduce the
     estimated-path reconstructions (`IntraSS.py:245-302` contract)."""

@@ -127,3 +127,94 @@ def test_lssvc_stream_roundtrip(lssvc_model, tmp_path):
     assert_close_mostly(np.asarray(res["dpb"]["ref_frame_el"]),
                         np.asarray(est["dpb"]["ref_frame_el"]), atol=1e-3,
                         max_mismatch_frac=0.01)
+
+
+def test_closed_loop_encoder_dpb_bit_exact(lssvc_model, dmc_model, tmp_path):
+    """The staged encoder's DPB must be BIT-identical to what decompress
+    reconstructs from the stream — guaranteed by construction since both
+    run the same jitted stage executables on the same symbol planes.  Uses
+    chaotic random-init weights on purpose: any executable divergence
+    (e.g. a separately-fused encoder program) amplifies to visible drift."""
+    rng = np.random.default_rng(11)
+
+    # BL alone
+    x = nhwc_rand(rng, (1, 64, 64, 3))
+    dpb_bl = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+    }
+    enc = dmc_model.compress(x, dpb_bl)
+    dec = dmc_model.decompress(enc["string"], 64, 64, dpb_bl)
+    for k in ("ref_frame_bl", "ref_feature_bl", "y_hat_bl", "mv_hat_bl"):
+        np.testing.assert_array_equal(np.asarray(enc["dpb"][k]),
+                                      np.asarray(dec["dpb"][k]), err_msg=k)
+
+    # two-layer
+    m = lssvc_model
+    m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    dpb = {
+        "ref_frame_el": nhwc_rand(rng, (1, 128, 128, 3)),
+        "ref_feature_el": nhwc_rand(rng, (1, 128, 128, 48)),
+        "texture": enc["dpb"]["ref_feature_bl"],
+        "y_hat_bl": enc["dpb"]["y_hat_bl"],
+        "mv_hat_bl": enc["dpb"]["mv_hat_bl"],
+    }
+    x_el = nhwc_rand(rng, (1, 128, 128, 3))
+    enc_el = m.compress(x_el, dpb)
+    dec_el = m.decompress(enc_el["string"], 128, 128, dpb)
+    for k in ("ref_frame_el", "ref_feature_el"):
+        np.testing.assert_array_equal(np.asarray(enc_el["dpb"][k]),
+                                      np.asarray(dec_el["dpb"][k]), err_msg=k)
+
+
+def test_pipelined_encode_matches_sequential(lssvc_model, tmp_path):
+    """encode_sequence (host rANS overlapped, decoder-DPB reproduced on
+    device) must produce byte-identical streams to the sequential
+    encode_decode_extend loop, and end with the same DPB."""
+    from lssvc_tpu.models.pipeline import encode_sequence
+
+    rng = np.random.default_rng(7)
+    m = lssvc_model
+    m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    n_frames = 3
+    xs_bl = [nhwc_rand(rng, (1, 64, 64, 3)) for _ in range(n_frames)]
+    xs_el = [nhwc_rand(rng, (1, 128, 128, 3)) for _ in range(n_frames)]
+    dpb0 = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+        "ref_frame_el": nhwc_rand(rng, (1, 128, 128, 3)),
+        "ref_feature_el": nhwc_rand(rng, (1, 128, 128, 48)),
+    }
+
+    # sequential reference loop
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    dpb = dict(dpb0)
+    seq_bits = []
+    for t in range(n_frames):
+        res = m.encode_decode_extend(
+            xs_bl[t], xs_el[t], dict(dpb),
+            output_path_bl=str(seq_dir / f"bl{t}.bin"),
+            output_path_el=str(seq_dir / f"el{t}.bin"),
+            pic_width=128, pic_height=128, pic_width_bl=64, pic_height_bl=64)
+        seq_bits.append((res["bit_bl"], res["bit_el"]))
+        dpb = res["dpb"]
+
+    # pipelined encoder
+    pip_dir = tmp_path / "pip"
+    pip_dir.mkdir()
+    bl_paths = [str(pip_dir / f"bl{t}.bin") for t in range(n_frames)]
+    el_paths = [str(pip_dir / f"el{t}.bin") for t in range(n_frames)]
+    dpb_pip, bits = encode_sequence(m, xs_bl, xs_el, dict(dpb0),
+                                    bl_paths, el_paths)
+
+    for t in range(n_frames):
+        seq_bl = (seq_dir / f"bl{t}.bin").read_bytes()
+        seq_el = (seq_dir / f"el{t}.bin").read_bytes()
+        assert seq_bl == (pip_dir / f"bl{t}.bin").read_bytes(), f"BL frame {t}"
+        assert seq_el == (pip_dir / f"el{t}.bin").read_bytes(), f"EL frame {t}"
+        assert bits[t] == seq_bits[t]
+    np.testing.assert_array_equal(np.asarray(dpb_pip["ref_frame_el"]),
+                                  np.asarray(dpb["ref_frame_el"]))
+    np.testing.assert_array_equal(np.asarray(dpb_pip["ref_feature_bl"]),
+                                  np.asarray(dpb["ref_feature_bl"]))

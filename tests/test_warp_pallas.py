@@ -62,6 +62,32 @@ def test_pallas_warp_border_clamp_uses_true_size():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_pallas_warp_batched():
+    """Batch > 1 unrolls into per-image launches (batch-of-sequences
+    serving) and must match the batched XLA warp per-image."""
+    x = _rand((2, 14, 150, 3), 6)
+    flow = _rand_flow((2, 14, 150, 2), 7)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas(x, flow[..., 0], flow[..., 1], D_V, D_H)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_grouped_warp_batched():
+    g, cg, go = 4, 2, 8  # group_num=4, 2 offsets each
+    x = _rand((2, 16, 128, 8), 8)
+    fx = jnp.full((2, 16, 128, go), 1.25, jnp.float32)
+    fy = jnp.zeros((2, 16, 128, go), jnp.float32)
+    mask = _rand((2, 16, 128, go), 10) ** 2
+    out = _grouped_warp_pallas(x, fx, fy, mask, D_V, D_H, g)
+    # reference: per-image single-batch kernel calls
+    ref = jnp.concatenate([
+        _grouped_warp_pallas(x[b:b + 1], fx[b:b + 1], fy[b:b + 1],
+                             mask[b:b + 1], D_V, D_H, g)
+        for b in range(2)], axis=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_pallas_grouped_warp_matches_xla_block_path():
     group_num, offset_num, cg = 2, 2, 2
     go = group_num * offset_num
