@@ -68,13 +68,30 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)
     shape_hr = el_hw
 
-    @jax.jit
-    def step(params, x_bl, x_el, dpb, bits_acc):
-        out = lssvc_model.forward_one_frame(
-            params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
-            dpb["ref_feature_bl"], dpb["ref_feature_el"],
-            shape_hr, 2.0, (0, 0, 0, 0))
-        return out["dpb"], bits_acc + out["bit_bl"] + out["bit_el"]
+    import sys
+
+    staged = "--staged" in sys.argv or batch > 1
+    if staged:
+        # each frame is TWO programs (BL | EL); keep total outstanding
+        # executions within the device's 8-deep full-speed window
+        k = min(k, 3)
+    if staged:
+        # two-program frame (BL | EL): lower peak HBM; required for
+        # batch-of-sequences at 1080p (fused program OOMs at batch 2)
+        def step(params, x_bl, x_el, dpb, bits_acc):
+            out = lssvc_model.forward_one_frame_staged(
+                params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+                dpb["ref_feature_bl"], dpb["ref_feature_el"],
+                shape_hr, 2.0, (0, 0, 0, 0))
+            return out["dpb"], bits_acc + out["bit_bl"] + out["bit_el"]
+    else:
+        @jax.jit
+        def step(params, x_bl, x_el, dpb, bits_acc):
+            out = lssvc_model.forward_one_frame(
+                params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+                dpb["ref_feature_bl"], dpb["ref_feature_el"],
+                shape_hr, 2.0, (0, 0, 0, 0))
+            return out["dpb"], bits_acc + out["bit_bl"] + out["bit_el"]
 
     # batch = independent sequences coded concurrently on the chip
     # (the codec is fully convolutional; batching amortizes per-op

@@ -256,6 +256,42 @@ def forward_one_frame(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
 # one jitted function covers I-ref / first-P / steady-state variants.
 _fwd_jit = partial(jax.jit, static_argnums=(7, 8, 9))(forward_one_frame)
 
+_el_fwd_jit = partial(jax.jit, static_argnums=(7, 8))(el_forward)
+
+
+def forward_one_frame_staged(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
+                             ref_feature_bl, ref_feature_el, shape_hr,
+                             scale_factor, pad_size):
+    """Two-program variant of `forward_one_frame`: BL and EL run as separate
+    XLA executables.  Peak HBM is max(stage peaks) + the small inter-layer
+    tensors instead of the fused program's global peak — the fused 1080p
+    frame needs ~12.8G and OOMs at batch 2 (25.5G > 15.75G on v5e), while
+    staging admits larger batch-of-sequences.  Wall-clock cost is one extra
+    dispatch."""
+    bl_params = {k[len("base_layer_model."):]: v for k, v in params.items()
+                 if k.startswith("base_layer_model.")}
+    bl = dmc._forward_inter_jit(bl_params, x_bl, ref_frame_bl, ref_feature_bl)
+
+    texture = pad_nhwc(bl["feature"], pad_size)
+    mv_bl_hat = pad_nhwc(bl["mv_hat"], pad_size)
+    y_bl_hat = pad_nhwc(bl["y_hat"], tuple(int(v / 16) for v in pad_size))
+
+    el = _el_fwd_jit(params, x_el, ref_frame_el, ref_feature_el, texture,
+                     mv_bl_hat, y_bl_hat, shape_hr, scale_factor)
+
+    return {
+        "dpb": {
+            "ref_frame_bl": bl["recon_image"],
+            "ref_feature_bl": bl["feature"],
+            "ref_frame_el": el["recon_el"],
+            "ref_feature_el": el["feature_el"],
+        },
+        "bit_bl": bl["bits"],
+        "bit_el": el["bits_el"],
+        "mv_hat": el["mv_hat"],
+        "warp_frame": el["warp_frame"],
+    }
+
 
 _TRANSPOSED = frozenset(
     "base_layer_model." + k for k in dmc.DMC.TRANSPOSED_CONV_KEYS

@@ -68,6 +68,55 @@ def flow_warp(x, flow):
     return top * (1.0 - wy) + bot * wy
 
 
+def flow_warp_lowmem(x, flow):
+    """`flow_warp` in planar (W-minor) layout with the four bilinear taps
+    gathered sequentially — accumulator + ONE live tap.
+
+    Exists for the lax.cond fallback branches in `warp_pallas`: XLA reserves
+    HBM for BOTH branches of a cond, so the (rarely-taken) gather fallback's
+    temps count against peak memory even when the pallas kernel runs — at
+    batch-2 1080p the eager formulation's reserved temps alone are >10 GB.
+    Two tricks keep this branch small: (a) everything spatial lives in
+    (..., H, W) planar shapes, whose (8,128) tiling pads ~1x, instead of
+    channel-minor (H, W, C) shapes that pad 4-40x for small C; (b) per-tap
+    coordinates are selected with lax.switch over the already-materialized
+    corner planes, so no (4, ...) stack is materialized.  Tap accumulation
+    order differs from `flow_warp`'s factored lerp — agrees to ~1e-6, not
+    bit-exactly."""
+    n, h, w, c = x.shape
+    iy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    ix = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    px = jnp.clip(ix + flow[..., 0], 0.0, w - 1.0)
+    py = jnp.clip(iy + flow[..., 1], 0.0, h - 1.0)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    xp = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h * w)
+
+    def tap(t, acc):
+        yy = jax.lax.switch(t, [lambda: y0, lambda: y0,
+                                lambda: y1, lambda: y1])
+        xx = jax.lax.switch(t, [lambda: x0, lambda: x1,
+                                lambda: x0, lambda: x1])
+        wt = jax.lax.switch(t, [lambda: (1.0 - wx) * (1.0 - wy),
+                                lambda: wx * (1.0 - wy),
+                                lambda: (1.0 - wx) * wy,
+                                lambda: wx * wy])
+        idx = (yy * w + xx).reshape(n, 1, h * w)
+        v = jnp.take_along_axis(xp, idx, axis=2)
+        return acc + v * wt.reshape(n, 1, h * w)
+
+    out = jax.lax.fori_loop(0, 4, tap, jnp.zeros_like(xp))
+    return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
+
+
 def flow_warp_grouped(x, flow_x, flow_y):
     """Backward-warp with per-channel-group flows, block channel layout.
 
@@ -117,6 +166,57 @@ def flow_warp_grouped(x, flow_x, flow_y):
     top = v00 * (1.0 - wxc) + v01 * wxc
     bot = v10 * (1.0 - wxc) + v11 * wxc
     return top * (1.0 - wyc) + bot * wyc
+
+
+def grouped_warp_lowmem(x, flow_x, flow_y, mask, group_num: int):
+    """OffsetDiversity grouped warp, low-peak-memory formulation for the
+    lax.cond fallback branch (see `flow_warp_lowmem`): a fori_loop over the
+    go flow units, everything in planar (W-minor) layout.  Never
+    materializes the (B, H, W, go*cg) expanded source or any per-tap index
+    stack — per-iteration temps are (B, cg, H*W).
+
+    Semantics identical to the eager block path
+    (`warp_pallas._slow_impl` with `flow_warp_grouped`): output channel
+    c' = k*go + j is source channel (j % group_num)*cg + k warped by flow
+    unit j, times mask j; same factored bilinear lerp, border clamp,
+    align_corners=True."""
+    b, h, w, c_src = x.shape
+    go = flow_x.shape[-1]
+    g = group_num
+    cg = c_src // g
+    hw = h * w
+    xp = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c_src, hw)
+    fxp = jnp.transpose(flow_x, (0, 3, 1, 2))  # (b, go, h, w)
+    fyp = jnp.transpose(flow_y, (0, 3, 1, 2))
+    mp = jnp.transpose(mask, (0, 3, 1, 2)).reshape(b, go, hw)
+    iy = jnp.arange(h, dtype=flow_x.dtype)[None, :, None]
+    ix = jnp.arange(w, dtype=flow_x.dtype)[None, None, :]
+
+    def unit(j, out):
+        px = jnp.clip(ix + fxp[:, j], 0.0, w - 1.0)
+        py = jnp.clip(iy + fyp[:, j], 0.0, h - 1.0)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        wx = (px - x0).reshape(b, 1, hw)
+        wy = (py - y0).reshape(b, 1, hw)
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        src = jax.lax.dynamic_slice_in_dim(xp, (j % g) * cg, cg, axis=1)
+
+        def gat(yy, xx):
+            idx = (yy * w + xx).reshape(b, 1, hw)
+            return jnp.take_along_axis(src, idx, axis=2)
+
+        top = gat(y0, x0) * (1.0 - wx) + gat(y0, x1) * wx
+        bot = gat(y1, x0) * (1.0 - wx) + gat(y1, x1) * wx
+        v = (top * (1.0 - wy) + bot * wy) * mp[:, j][:, None]
+        return jax.lax.dynamic_update_index_in_dim(out, v, j, 2)
+
+    out = jax.lax.fori_loop(0, go, unit,
+                            jnp.zeros((b, cg, go, hw), x.dtype))
+    return jnp.transpose(out.reshape(b, cg * go, h, w), (0, 2, 3, 1))
 
 
 @functools.lru_cache(maxsize=512)

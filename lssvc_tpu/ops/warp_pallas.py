@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .warp import flow_warp as _flow_warp_xla
+from .warp import flow_warp_lowmem as _flow_warp_xla_lowmem
 
 # flows at or below this bound take the SMALL-WINDOW kernel (d_v=3): the
 # masked-scan work per output tile scales with win_r = tr + 2*d_v + 2, so a
@@ -398,10 +399,13 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
         (jnp.max(jnp.abs(fy)) <= d_v - 1)
 
     def windowed_or_gather(operands):
+        # the fallback uses the sequential-tap formulation: XLA reserves HBM
+        # for BOTH cond branches, and the eager gather's temps are GB-scale
+        # at 1080p batch>1 even when the pallas branch runs
         return jax.lax.cond(
             in_bounds,
             lambda ops: _flow_warp_pallas(ops[0], ops[1], ops[2], d_v, d_h),
-            lambda ops: _flow_warp_xla(ops[0], ops[3]),
+            lambda ops: _flow_warp_xla_lowmem(ops[0], ops[3]),
             operands)
 
     return jax.lax.cond(
@@ -419,7 +423,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     (d_v, d_h), XLA grouped-gather fallback otherwise.
 
     Non-TPU backends use the XLA path directly (see flow_warp_auto)."""
-    from .warp import flow_warp_grouped
+    from .warp import flow_warp_grouped, grouped_warp_lowmem
 
     x = x.astype(jnp.float32)
     flow_x = flow_x.astype(jnp.float32)
@@ -429,7 +433,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     cg = c_src // group_num
     offset_num = flow_x.shape[-1] // group_num
 
-    def slow(operands):
+    def _slow_eager(operands):
         x_, fx_, fy_, m_ = operands
         planes = [x_[..., k::cg] for k in range(cg)]
         x_blk = jnp.concatenate([p for plane in planes
@@ -437,8 +441,14 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         warped = flow_warp_grouped(x_blk, fx_, fy_)
         return warped * jnp.concatenate([m_] * cg, axis=-1)
 
+    def slow(operands):
+        # low-peak-memory per-unit scan: this branch's buffers are reserved
+        # even when the pallas branch runs (see flow_warp_auto)
+        x_, fx_, fy_, m_ = operands
+        return grouped_warp_lowmem(x_, fx_, fy_, m_, group_num)
+
     if jax.default_backend() != "tpu":
-        return slow((x, flow_x, flow_y, mask))
+        return _slow_eager((x, flow_x, flow_y, mask))
 
     fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))
     tiny = fmax <= _SMALL_BOUND

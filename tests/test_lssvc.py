@@ -68,6 +68,36 @@ def test_lssvc_forward_parity(models):
         r["mv_hat"].numpy())
 
 
+def test_lssvc_staged_forward_matches_fused(models):
+    """forward_one_frame_staged (two XLA programs, low-peak-HBM serving
+    path for batch-of-sequences) must track the fused program; exact
+    equality is not expected (different fusion), so use the same noise
+    floor as the torch parity tests."""
+    from lssvc_tpu.models import lssvc as lssvc_mod
+
+    _, ours = models
+    rng = np.random.default_rng(21)
+
+    def arr(shape):
+        return jnp.asarray(rng.random(shape), dtype=jnp.float32)
+
+    args = (arr((2, 64, 64, 3)), arr((2, 128, 128, 3)),
+            arr((2, 64, 64, 3)), arr((2, 128, 128, 3)),
+            arr((2, 64, 64, 64)), arr((2, 128, 128, 48)))
+    fused = lssvc_mod.forward_one_frame(ours.params, *args, (128, 128), 2.0,
+                                        (0, 0, 0, 0))
+    staged = lssvc_mod.forward_one_frame_staged(ours.params, *args,
+                                                (128, 128), 2.0,
+                                                (0, 0, 0, 0))
+    assert_rel_rms(np.asarray(staged["dpb"]["ref_frame_el"]),
+                   np.asarray(fused["dpb"]["ref_frame_el"]))
+    assert_rel_rms(np.asarray(staged["dpb"]["ref_frame_bl"]),
+                   np.asarray(fused["dpb"]["ref_frame_bl"]))
+    for k in ("bit_bl", "bit_el"):
+        a, b = float(staged[k]), float(fused[k])
+        assert abs(a - b) / max(abs(b), 1.0) < 3e-3, (k, a, b)
+
+
 def test_lssvc_first_p_frame(models):
     """After an I-frame: BL feature None, EL feature 64-ch (IntraSS output)."""
     ref, ours = models

@@ -180,3 +180,38 @@ def test_bilinear_up_down2():
                                ref_up, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(j2n_nchw(bilinear_downsample2(t2j_nhwc(x))),
                                ref_dn, atol=2e-5, rtol=1e-4)
+
+
+def test_flow_warp_lowmem_matches_eager():
+    from lssvc_tpu.ops.warp import flow_warp, flow_warp_lowmem
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(2, 13, 37, 5)).astype(np.float32))
+    flow = jnp.asarray((rng.uniform(-4, 4, size=(2, 13, 37, 2)))
+                       .astype(np.float32))
+    np.testing.assert_allclose(np.asarray(flow_warp_lowmem(x, flow)),
+                               np.asarray(flow_warp(x, flow)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_grouped_warp_lowmem_matches_eager_block_path():
+    from lssvc_tpu.ops.warp import flow_warp_grouped, grouped_warp_lowmem
+
+    rng = np.random.default_rng(32)
+    group_num, offset_num, cg = 4, 2, 2  # c_src=8, go=8
+    x = jnp.asarray(rng.normal(size=(2, 12, 24, 8)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-3, 3, size=(2, 12, 24, 8))
+                     .astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-3, 3, size=(2, 12, 24, 8))
+                     .astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 12, 24, 8)).astype(np.float32))
+
+    # eager block path (what grouped_warp_auto's non-TPU branch computes)
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate([p for plane in planes
+                             for p in (plane,) * offset_num], axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
+                                                             axis=-1)
+    out = grouped_warp_lowmem(x, fx, fy, mask, group_num)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
