@@ -45,8 +45,9 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
 
     # persistent compile cache: 1080p program compiles take ~10+ min through
     # the remote compile helper; cache hits make repeat runs fast
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lssvc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc

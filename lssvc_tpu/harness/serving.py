@@ -1,0 +1,69 @@
+"""Encode-only GOP serving driver with pipelined host entropy coding.
+
+The reference harness always runs decode in-process right after encode
+(`test.py:219-247`); a real encoder deployment doesn't.  This driver
+produces the bitstreams for an I/P GOP-structured sequence with the host
+rANS work for P-frames overlapped against device compute
+(`models/pipeline.py`), and the decoded-picture buffer resident on device
+end to end — the closed-loop staged encoders guarantee the DPB is
+bit-identical to what a decoder will reconstruct, so no verification
+decode is on the critical path.
+
+DPB clamping between frames matches the reference's in-place clamp
+(`test.py:249-250`) and the harness runner, so streams are byte-identical
+to the sequential `run_test` path.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax.numpy as jnp
+
+from ..models import pipeline
+from ..models.intra_ss_stream import compress_stream
+
+
+def encode_gop(i_frame_net, video_net, frames_bl, frames_el, gop_size,
+               bl_paths, el_paths, hw_bl, hw_el):
+    """Encode a sequence of (BL, EL) frame pairs to per-frame .bin files.
+
+    i_frame_net: updated IntraSS; video_net: updated LSSVCExtend — both with
+    set_scale_information already applied.  hw_bl/hw_el: (height, width) of
+    the padded layers.  Returns (final device DPB, [(bit_bl, bit_el), ...]).
+    """
+    n = len(frames_bl)
+    assert len(bl_paths) == n and len(el_paths) == n
+    bits = [None] * n
+    dpb = None
+    with ThreadPoolExecutor(max_workers=1) as pool:  # in-order host coding
+        futs = {}
+        for t in range(n):
+            if t % gop_size == 0:
+                # I-frame: host coding is inline (intra latents are small
+                # relative to the P-frame planes); drain pending P-frame
+                # host work first so coder state never interleaves
+                for u in sorted(futs):
+                    bits[u] = futs[u].result()
+                futs.clear()
+                res = compress_stream(
+                    i_frame_net, frames_bl[t], frames_el[t],
+                    bl_paths[t], el_paths[t],
+                    hw_bl[0], hw_bl[1], hw_el[0], hw_el[1])
+                bits[t] = (res["bit_bl"], res["bit_el"])
+                dpb = {"ref_frame_bl": jnp.clip(res["x_hat_bl"], 0.0, 1.0),
+                       "ref_frame_el": jnp.clip(res["x_hat_el"], 0.0, 1.0),
+                       "ref_feature_bl": None,
+                       "ref_feature_el": res["feature_el"]}
+            else:
+                bl_planes, el_planes, dpb = pipeline._frame_device(
+                    video_net, frames_bl[t], frames_el[t], dpb)
+                # reference clamps the DPB frames in place between frames
+                dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+                dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+                futs[t] = pool.submit(pipeline._host_code_frame, video_net,
+                                      bl_planes, el_planes,
+                                      bl_paths[t], el_paths[t])
+        for u in sorted(futs):
+            bits[u] = futs[u].result()
+    return dpb, bits

@@ -46,20 +46,26 @@ def _el_synthesis_jit(params, y_hat, c1, c2, c3):
     return el_synthesis(params, y_hat, c1, c2, c3)
 
 
-def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
-                         pic_height_bl, pic_width_bl,
-                         pic_height_el, pic_width_el):
+def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
+                    pic_height_bl, pic_width_bl,
+                    pic_height_el, pic_width_el):
+    """Encode-only IntraSS: writes both .bin files and returns the
+    DECODER-exact reconstructions without a host rANS decode.
+
+    Closed loop throughout: the BL recon/latent come from
+    `IntraNoAR.compress(with_recon=True)`, the EL context and prior planes
+    from the decoder's own `_context_mining_jit` / `_el_prior_planes`
+    executables, and the EL y_hat from the same int-normalized round trip
+    `gc_decompress` reconstructs — a last-bit divergence anywhere here
+    would flip an index bucket and desynchronize the EL rANS stream (see
+    dmc_stream.py docstring)."""
+    from .intra_noar import _y_roundtrip
+
     model.update()
     bl = model.base_layer_model
     shape_hr = model.shape_hr
     pad = model.pad_size
 
-    # ---------------- encode ----------------
-    # Closed-loop BL: compress(with_recon=True) hands back the DECODER-exact
-    # (x_hat, y_hat) — everything the EL priors condition on must match the
-    # decoder bit-for-bit, else a last-bit scale difference can flip an EL
-    # index bucket and desynchronize the EL rANS stream (see
-    # dmc_stream.py docstring for the general rule).
     y_bl, z_bl = bl.get_y_z(x_bl)
     compressed = bl.compress(y=y_bl, z=z_bl, with_recon=True)
     encode_i(pic_height_bl, pic_width_bl, compressed["strings"][0][0],
@@ -72,21 +78,52 @@ def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
 
     y_el, z_el, _ = _el_analysis_jit(model.params, x_el, x_hat_bl_depad,
                                      shape_hr)
-    # ctx3 for the EL priors comes from the decoder's own executable, not
-    # from el_analysis' fused program
-    _, _, c3_enc = _context_mining_jit(model.params, x_hat_bl_depad, None,
-                                       shape_hr)
+    # context for the EL priors comes from the decoder's own executable,
+    # not from el_analysis' fused program
+    c1, c2, c3 = _context_mining_jit(model.params, x_hat_bl_depad, None,
+                                     shape_hr)
     z_strings = model._coder.eb_compress(z_el)
     z_hat = jnp.asarray(model._coder.eb_decompress(
         z_strings, (z_el.shape[1], z_el.shape[2])))
     idx, means = _el_prior_planes(model.params, z_hat, y_hat_bl_depad,
-                                  c3_enc, shape_hr)
+                                  c3, shape_hr)
     y_strings = model._coder.gc_compress(y_el, idx, means)
     encode_i(pic_height_el, pic_width_el, y_strings[0], z_strings[0],
              bin_path_el)
     bit_el = filesize(bin_path_el) * 8
 
-    # ---------------- decode ----------------
+    y_hat_el = jax.jit(_y_roundtrip)(y_el, means)
+    feature, x_hat_el = _el_synthesis_jit(model.params, y_hat_el, c1, c2, c3)
+    return {
+        "bit_bl": bit_bl,
+        "bit_el": bit_el,
+        "x_hat_bl": compressed["x_hat"],
+        "x_hat_el": x_hat_el,
+        "feature_el": feature,
+    }
+
+
+def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
+                         pic_height_bl, pic_width_bl,
+                         pic_height_el, pic_width_el):
+    enc = compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
+                          pic_height_bl, pic_width_bl,
+                          pic_height_el, pic_width_el)
+    dec = decompress_stream(model, bin_path_bl, bin_path_el)
+    dec["bit_bl"] = enc["bit_bl"]
+    dec["bit_el"] = enc["bit_el"]
+    return dec
+
+
+def decompress_stream(model, bin_path_bl, bin_path_el):
+    """Decode-only IntraSS: reconstruct both layers from the two .bin
+    files (the decoder half of `encode_decode_stream`; drives the
+    standalone decoder CLI)."""
+    model.update()
+    bl = model.base_layer_model
+    shape_hr = model.shape_hr
+    pad = model.pad_size
+
     h_bl, w_bl, y_str_bl, z_str_bl = decode_i(bin_path_bl)
     shape_bl = get_downsampled_shape(h_bl, w_bl, 64)
     dec_bl = bl.decompress([[y_str_bl], [z_str_bl]], shape_bl)
@@ -106,8 +143,6 @@ def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
     feature, x_hat_el = _el_synthesis_jit(model.params, y_hat, c1, c2, c3)
 
     return {
-        "bit_bl": bit_bl,
-        "bit_el": bit_el,
         "x_hat_bl": x_hat_bl,
         "x_hat_el": x_hat_el,
         "feature_el": feature,

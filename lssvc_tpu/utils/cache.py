@@ -1,0 +1,30 @@
+"""Persistent-compile-cache setup.
+
+The cache directory is qualified by backend platform.  A single shared
+directory is NOT safe: XLA:CPU AOT entries written by a process whose
+target config differs (e.g. the TPU compile-helper environment sets
+`+prefer-no-gather/+prefer-no-scatter` machine features) are loaded by
+later CPU processes anyway — jax's cache key does not cover those target
+features — so a run executes a mix of fresh and foreign-flag executables.
+That breaks cross-process bit-reproducibility of the codec (observed:
+byte-different rANS streams for identical inputs/weights per process) and
+risks SIGILL on feature-mismatched hosts.
+
+Per-platform directories keep every entry self-consistent with the
+processes that read it.  Cross-MACHINE float portability is a separate,
+fundamental caveat documented in docs/PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(base: str | None = None):
+    import jax
+
+    base = base or os.environ.get("LSSVC_COMPILE_CACHE", "/tmp/jaxcache")
+    path = f"{base}-{jax.default_backend()}"
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

@@ -148,9 +148,9 @@ def main():
     # across runs (same policy as bench.py)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("LSSVC_COMPILE_CACHE", "/tmp/jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lssvc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from lssvc_tpu.ops import set_precision_mode
 

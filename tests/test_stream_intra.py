@@ -77,9 +77,8 @@ def test_intra_compress_with_recon_decoder_exact(model):
                                   np.asarray(dec["x_hat"]))
 
 
-def test_intra_ss_stream_roundtrip(tmp_path):
-    """Two-file (BL+EL) IntraSS stream: encode -> decode must reproduce the
-    estimated-path reconstructions (`IntraSS.py:245-302` contract)."""
+@pytest.fixture(scope="module")
+def intra_ss_model():
     import_reference()
     from src.models.IntraSS import IntraSS as RefIntraSS
 
@@ -89,6 +88,40 @@ def test_intra_ss_stream_roundtrip(tmp_path):
     ref = RefIntraSS(channel_BL=32)
     m = IntraSS.from_torch_state_dict(ref.state_dict())
     m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    return m
+
+
+def test_intra_ss_compress_stream_decoder_exact(intra_ss_model, tmp_path):
+    """Encode-only compress_stream must return BIT-identical recons to the
+    real decode of its own streams (closed-loop guarantee for GOP serving:
+    the P-chain conditions on the I-frame recon)."""
+    from lssvc_tpu.models.intra_ss_stream import compress_stream
+
+    m = intra_ss_model
+    rng = np.random.default_rng(9)
+    x_bl = jnp.asarray(rng.random((1, 64, 64, 3)), dtype=jnp.float32)
+    x_el = jnp.asarray(rng.random((1, 128, 128, 3)), dtype=jnp.float32)
+    m.update(force=True)
+    enc = compress_stream(m, x_bl, x_el,
+                          str(tmp_path / "bl.bin"), str(tmp_path / "el.bin"),
+                          64, 64, 128, 128)
+    dec = m.encode_decode(x_bl, x_el,
+                          str(tmp_path / "bl2.bin"), str(tmp_path / "el2.bin"),
+                          pic_height_bl=64, pic_width_bl=64,
+                          pic_height_el=128, pic_width_el=128)
+    assert (tmp_path / "bl.bin").read_bytes() == \
+        (tmp_path / "bl2.bin").read_bytes()
+    assert (tmp_path / "el.bin").read_bytes() == \
+        (tmp_path / "el2.bin").read_bytes()
+    for k in ("x_hat_bl", "x_hat_el", "feature_el"):
+        np.testing.assert_array_equal(np.asarray(enc[k]),
+                                      np.asarray(dec[k]), err_msg=k)
+
+
+def test_intra_ss_stream_roundtrip(intra_ss_model, tmp_path):
+    """Two-file (BL+EL) IntraSS stream: encode -> decode must reproduce the
+    estimated-path reconstructions (`IntraSS.py:245-302` contract)."""
+    m = intra_ss_model
 
     rng = np.random.default_rng(3)
     x_bl = jnp.asarray(rng.random((1, 64, 64, 3)), dtype=jnp.float32)

@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--k", type=int, default=6)
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from lssvc_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from lssvc_tpu.ops import set_precision_mode, conv2d, leaky_relu
     set_precision_mode(args.mode)
 

@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+from lssvc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 H, W, C = 1152, 1920, 48
 HW = H * W

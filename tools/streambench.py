@@ -29,8 +29,8 @@ import jax
 def main():
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lssvc_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from lssvc_tpu.models.init import init_lssvc
     from lssvc_tpu.models.lssvc import LSSVCExtend

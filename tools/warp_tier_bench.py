@@ -53,7 +53,8 @@ def chain_time(fn, args, k=K):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from lssvc_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas, _flow_warp_pallas
     from lssvc_tpu.ops.warp import (flow_warp_shift_sum,
                                     grouped_warp_shift_sum)
