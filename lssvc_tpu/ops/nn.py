@@ -110,9 +110,11 @@ def set_conv1x1_einsum(on: bool):
     """Route 1x1/stride-1/ungrouped convs through an einsum matmul instead
     of conv_general_dilated.  Mathematically identical; skips XLA:TPU's
     batch-1 space-to-batch conv wrappers (34 -> 25 ms on a 1080p
-    DepthConvBlock stack, tools/conv_bench.py --impl mixed).  Off by
-    default pending a stabilized full-model A/B (an earlier 19x-regression
-    reading was a post-compile measurement artifact)."""
+    DepthConvBlock stack, tools/conv_bench.py --impl mixed).  Full-model
+    A/B (stable-measured, 2026-08): 1.007 vs 1.134 fps — an 11%
+    REGRESSION; mixing dot and conv ops makes XLA insert layout copies
+    between them that outweigh the microbench win.  Kept as an ablation
+    mode (`bench.py --mode bf16_einsum`); stays off."""
     global _CONV1X1_EINSUM
     _CONV1X1_EINSUM = bool(on)
 

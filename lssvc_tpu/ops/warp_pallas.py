@@ -177,6 +177,373 @@ def _warp_kernel(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
     jax.lax.fori_loop(0, n_rv, rv_body, 0)
 
 
+def _smallflow_weights(fx, fy, ti, tj, tr, h, w, b, d_v, d_h, win_r, win_c):
+    """36 combined (tr, TILE_C) tap-weight maps for the shift-sum kernel:
+    tap (ry, rx) carries bilinear weight wherever the clamped sample's
+    floor cell (or its +1 neighbor) lands on that relative offset."""
+    lx0, ly0, wx, wy = _sample_coords(fx, fy, ti, tj, tr, h, w, d_v, d_h,
+                                      win_r, win_c)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 1)
+    ry0 = ly0 - (d_v + 1) - row_i  # floor-cell offset, in [-b, b]
+    rx0 = lx0 - (d_h + 1) - lane
+    one = jnp.float32(1.0)
+    offs = list(range(-b, b + 2))
+    wys = {r: (ry0 == r).astype(jnp.float32) * (one - wy)
+           + (ry0 + 1 == r).astype(jnp.float32) * wy for r in offs}
+    wxs = {r: (rx0 == r).astype(jnp.float32) * (one - wx)
+           + (rx0 + 1 == r).astype(jnp.float32) * wx for r in offs}
+    return [(d_v + 1 + ry, d_h + 1 + rx, wys[ry] * wxs[rx])
+            for ry in offs for rx in offs]
+
+
+def _warp_kernel_smallflow(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
+                           *, b, d_v, d_h, h, w, n_chan, tr):
+    """|flow| <= b specialization: in-window shift-sum.  Every bilinear tap
+    is a STATIC (sublane, lane)-offset slice of the VMEM window — the
+    channel loop is pure slice+multiply+add, no dynamic gathers.
+
+    MEASURED NEGATIVE RESULT (v5e, 2026-08): 158 ms vs 56 ms for the
+    windowed-gather kernel at 48ch 1080p (grouped: 186 vs 81).  The
+    36 unaligned (sublane, lane)-offset slices each lower to a multi-op
+    relayout sequence in Mosaic, which outweighs the gather savings.  Kept
+    (with tests) as the record of the experiment; the auto wrappers
+    dispatch the tiny tier to the d_v=3 windowed kernel."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[:, pl.ds(ti * tr, win_r), pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+    taps = _smallflow_weights(fx_ref[:], fy_ref[:], ti, tj, tr, h, w,
+                              b, d_v, d_h, win_r, win_c)
+    copy.wait()
+
+    def chan_body(c, _):
+        acc = jnp.zeros((tr, TILE_C), jnp.float32)
+        for ro, co, wt in taps:
+            acc = acc + win_ref[c, pl.ds(ro, tr), co:co + TILE_C] * wt
+        out_ref[c, :, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, n_chan, chan_body, 0)
+
+
+def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
+                        *, b, d_v, d_h, h, w, n_chan, tr):
+    """Small-flow kernel, channel-blocked: source window lives as
+    (win_r, C, win_c) so one (8-channel, 128-lane) vreg load + lane gather
+    serves 8 channels at once — 8x fewer dynamic gathers than the
+    per-channel windowed kernel.  Loop order: output row i (dynamic) x
+    relative tap row r (static, 2b+2) x column chunk x channel block.
+
+    Requires C % 8 == 0 and |flow| <= b (the auto wrapper's tiny tier)."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    n_cu = win_c // TILE_C
+    n_cb = n_chan // _VREG_R
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[pl.ds(ti * tr, win_r), :, pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+
+    lx0, ly0, wx, wy = _sample_coords(fx_ref[:], fy_ref[:], ti, tj, tr,
+                                      h, w, d_v, d_h, win_r, win_c)
+    one = jnp.float32(1.0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 0)
+    ry0 = ly0 - row_i  # window row offset of the floor tap, in [d_v+1-b ..]
+
+    copy.wait()
+
+    def row_body(i, _):
+        def brow(t):
+            idx = jnp.full((_VREG_R, TILE_C), i, jnp.int32)
+            return jnp.take_along_axis(t, idx, axis=0)
+
+        ry_i = brow(ry0.astype(jnp.float32))
+        wy_i = brow(wy)
+        for cu in range(n_cu):
+            l0 = lx0 - cu * TILE_C
+            w0_full = jnp.where((l0 >= 0) & (l0 < TILE_C), one - wx, 0.0)
+            w1_full = jnp.where((l0 + 1 >= 0) & (l0 + 1 < TILE_C), wx, 0.0)
+            i0_i = brow(jnp.clip(l0, 0, TILE_C - 1).astype(jnp.float32)
+                        ).astype(jnp.int32)
+            i1_i = brow(jnp.clip(l0 + 1, 0, TILE_C - 1).astype(jnp.float32)
+                        ).astype(jnp.int32)
+            w0_i = brow(w0_full)
+            w1_i = brow(w1_full)
+            for cb in range(n_cb):
+                acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+                for rp in range(d_v + 1 - b, d_v + 1 + b + 2):
+                    # vertical weight for tap row i+rp, broadcast over the
+                    # 8 channels of this block
+                    vw = ((ry_i == rp).astype(jnp.float32) * (one - wy_i)
+                          + (ry_i + 1 == rp).astype(jnp.float32) * wy_i)
+                    v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R,
+                                cu * TILE_C:(cu + 1) * TILE_C]
+                    g0 = jnp.take_along_axis(v, i0_i, axis=1)
+                    g1 = jnp.take_along_axis(v, i1_i, axis=1)
+                    acc = acc + (g0 * w0_i + g1 * w1_i) * vw
+                if cu == 0:
+                    out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
+                else:
+                    out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
+                        out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] + acc
+        return 0
+
+    jax.lax.fori_loop(0, tr, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
+                             d_v=_SMALL_D_V, d_h=63):
+    """Channel-blocked small-flow tier: see _warp_kernel_cblock."""
+    n, h, w, c = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_flow_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
+                                      flow_y[i:i + 1], b, d_v, d_h)
+             for i in range(n)], axis=0)
+    if c % _VREG_R:  # pad channels to the 8-sublane block (e.g. RGB warps)
+        cp = _pad_to(c, _VREG_R)
+        out = _flow_warp_pallas_cblock(
+            jnp.pad(x, ((0, 0),) * 3 + ((0, cp - c),)), flow_x, flow_y,
+            b, d_v, d_h)
+        return out[..., :c]
+    tr = _pick_tile_r(h)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    assert win_c % TILE_C == 0 and win_r % _VREG_R == 0
+
+    hp = _pad_to(h, tr)
+    wp = _pad_to(w, TILE_C)
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        x = jnp.pad(x, pad + ((0, 0),))
+        flow_x = jnp.pad(flow_x, pad)
+        flow_y = jnp.pad(flow_y, pad)
+
+    # (H, C, W) planar: window slices load (8ch, 128lane) vregs directly
+    planar = jnp.transpose(x[0], (0, 2, 1))
+    padded = jnp.pad(planar, ((d_v + 1, d_v + 1 + tr), (0, 0),
+                              (d_h + 1, d_h + 1 + TILE_C)))
+    grid = (hp // tr, wp // TILE_C)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_cblock, b=b, d_v=d_v, d_h=d_h,
+                          h=h, w=w, n_chan=c, tr=tr),
+        out_shape=jax.ShapeDtypeStruct((hp, c, wp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((tr, c, TILE_C), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win_r, c, win_c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(flow_x[0], flow_y[0], padded)
+    return jnp.transpose(out, (0, 2, 1))[None, :h, :w, :]
+
+
+def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
+                                win_ref, cx_ref, cy_ref, cwx_ref, cwy_ref,
+                                sem, *, b, d_v, d_h, h, w, go, tr):
+    """Grouped small-flow kernel, channel-blocked: the source arrives
+    PRE-EXPANDED to block layout (H, go*cg, W) (channel c' = k*go + j is
+    unit j's source channel k), so a block of 8 consecutive c' within one k
+    maps to 8 consecutive warp units — one (8, 128) vreg load + one
+    take_along_axis with PER-SUBLANE indices warps 8 units at once.
+
+    Per-tile: sample coordinates for all go units go into VMEM scratch as
+    (go, tr, TILE_C) planes; the inner loop slices the 8-unit stripe at the
+    current output row.  Requires |flow| <= b and go % 8 == 0."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    n_cu = win_c // TILE_C
+    c_blk = out_ref.shape[0]  # go * cg
+    cg = c_blk // go
+    n_ub = go // _VREG_R
+    one = jnp.float32(1.0)
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[pl.ds(ti * tr, win_r), :, pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+
+    # per-unit clamped sample coords -> scratch planes
+    def unit_coords(j, _):
+        lx0, ly0, wx, wy = _sample_coords(
+            fx_ref[j, :, :], fy_ref[j, :, :], ti, tj, tr, h, w, d_v, d_h,
+            win_r, win_c)
+        cx_ref[j, :, :] = lx0.astype(jnp.float32)
+        cy_ref[j, :, :] = ly0.astype(jnp.float32)
+        cwx_ref[j, :, :] = wx
+        cwy_ref[j, :, :] = wy
+        return 0
+
+    jax.lax.fori_loop(0, go, unit_coords, 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_VREG_R, TILE_C), 0)
+    copy.wait()
+
+    def row_body(i, _):
+        for ub in range(n_ub):
+            us = ub * _VREG_R
+            # (8 units, TILE_C) stripes at output row i
+            lx0 = cx_ref[us:us + _VREG_R, i, :].astype(jnp.int32)
+            ly0 = cy_ref[us:us + _VREG_R, i, :].astype(jnp.int32)
+            wx = cwx_ref[us:us + _VREG_R, i, :]
+            wy = cwy_ref[us:us + _VREG_R, i, :]
+            ry0 = ly0 - i  # window-row offset of the floor tap
+            for k in range(cg):
+                acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+                for cu in range(n_cu):
+                    l0 = lx0 - cu * TILE_C
+                    w0 = jnp.where((l0 >= 0) & (l0 < TILE_C), one - wx, 0.0)
+                    w1 = jnp.where((l0 + 1 >= 0) & (l0 + 1 < TILE_C),
+                                   wx, 0.0)
+                    i0 = jnp.clip(l0, 0, TILE_C - 1)
+                    i1 = jnp.clip(l0 + 1, 0, TILE_C - 1)
+                    for rp in range(d_v + 1 - b, d_v + 1 + b + 2):
+                        vw = ((ry0 == rp).astype(jnp.float32) * (one - wy)
+                              + (ry0 + 1 == rp).astype(jnp.float32) * wy)
+                        v = win_ref[i + rp, k * go + us:k * go + us + _VREG_R,
+                                    cu * TILE_C:(cu + 1) * TILE_C]
+                        g0 = jnp.take_along_axis(v, i0, axis=1)
+                        g1 = jnp.take_along_axis(v, i1, axis=1)
+                        acc = acc + (g0 * w0 + g1 * w1) * vw
+                m = mask_ref[us:us + _VREG_R, i, :]
+                out_ref[k * go + us:k * go + us + _VREG_R, i, :] = acc * m
+        return 0
+
+    jax.lax.fori_loop(0, tr, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
+                                b=_SMALL_BOUND, d_v=_SMALL_D_V, d_h=63):
+    """Grouped channel-blocked small-flow tier: see
+    _grouped_warp_kernel_cblock.  Expands the source to block layout
+    (one XLA concat) outside the kernel."""
+    n, h, w, c_src = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_grouped_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
+                                         flow_y[i:i + 1], mask[i:i + 1],
+                                         group_num, b, d_v, d_h)
+             for i in range(n)], axis=0)
+    go = flow_x.shape[-1]
+    offset_num = go // group_num
+    cg = c_src // group_num
+    assert go % _VREG_R == 0
+    tr = _pick_tile_r(h)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    assert win_c % TILE_C == 0 and win_r % _VREG_R == 0
+
+    hp = _pad_to(h, tr)
+    wp = _pad_to(w, TILE_C)
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        x = jnp.pad(x, pad)
+        flow_x = jnp.pad(flow_x, pad)
+        flow_y = jnp.pad(flow_y, pad)
+        mask = jnp.pad(mask, pad)
+
+    # block-layout expansion: channel c' = k*go + j  <-  x[..., (j%G)*cg + k]
+    planes = [x[0, ..., k::cg] for k in range(cg)]  # each (H, W, group_num)
+    x_blk = jnp.concatenate([p for plane in planes
+                             for p in (plane,) * offset_num], axis=-1)
+    planar = jnp.transpose(x_blk, (0, 2, 1))  # (H, go*cg, W)
+    padded = jnp.pad(planar, ((d_v + 1, d_v + 1 + tr), (0, 0),
+                              (d_h + 1, d_h + 1 + TILE_C)))
+    fxp = jnp.transpose(flow_x[0], (2, 0, 1))
+    fyp = jnp.transpose(flow_y[0], (2, 0, 1))
+    mp = jnp.transpose(mask[0], (2, 0, 1))
+
+    grid = (hp // tr, wp // TILE_C)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_grouped_warp_kernel_cblock, b=b, d_v=d_v,
+                          d_h=d_h, h=h, w=w, go=go, tr=tr),
+        out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((go * cg, tr, TILE_C),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win_r, go * cg, win_c), jnp.float32),
+            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
+            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
+            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
+            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(fxp, fyp, mp, padded)
+    return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
+
+
+def _grouped_warp_kernel_smallflow(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
+                                   win_ref, sem, *, b, d_v, d_h, h, w,
+                                   group_num, offset_num, cg, tr):
+    """Grouped (OffsetDiversity) variant of the shift-sum kernel: per warp
+    unit j, 36 static-slice taps over its feature group's cg channels."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    go = group_num * offset_num
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[:, pl.ds(ti * tr, win_r), pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    def unit_body(j, _):
+        taps = _smallflow_weights(fx_ref[j, :, :], fy_ref[j, :, :], ti, tj,
+                                  tr, h, w, b, d_v, d_h, win_r, win_c)
+        mask = mask_ref[j, :, :]
+        g_feat = j % group_num
+        for t in range(cg):
+            acc = jnp.zeros((tr, TILE_C), jnp.float32)
+            for ro, co, wt in taps:
+                acc = acc + win_ref[g_feat * cg + t, pl.ds(ro, tr),
+                                    co:co + TILE_C] * wt
+            out_ref[t * go + j, :, :] = acc * mask
+        return 0
+
+    jax.lax.fori_loop(0, go, unit_body, 0)
+
+
 def _grouped_warp_kernel(fx_ref, fy_ref, mask_ref, x_ref, out_ref, win_ref,
                          sem, *, d_v, d_h, h, w, group_num, offset_num, cg,
                          tr):
@@ -242,6 +609,125 @@ def _grouped_warp_kernel(fx_ref, fy_ref, mask_ref, x_ref, out_ref, win_ref,
         return 0
 
     jax.lax.fori_loop(0, go, unit_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _flow_warp_pallas_small(x, flow_x, flow_y, b=_SMALL_BOUND,
+                            d_v=_SMALL_D_V, d_h=63):
+    """Shift-sum tier for |flow| <= b: see _warp_kernel_smallflow."""
+    n, h, w, c = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_flow_warp_pallas_small(x[i:i + 1], flow_x[i:i + 1],
+                                     flow_y[i:i + 1], b, d_v, d_h)
+             for i in range(n)], axis=0)
+    tr = _pick_tile_r(h)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    assert win_c % TILE_C == 0 and win_r % _VREG_R == 0
+
+    hp = _pad_to(h, tr)
+    wp = _pad_to(w, TILE_C)
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        x = jnp.pad(x, pad + ((0, 0),))
+        flow_x = jnp.pad(flow_x, pad)
+        flow_y = jnp.pad(flow_y, pad)
+
+    planar = jnp.transpose(x[0], (2, 0, 1))
+    padded = jnp.pad(planar, ((0, 0), (d_v + 1, d_v + 1 + tr),
+                              (d_h + 1, d_h + 1 + TILE_C)))
+    grid = (hp // tr, wp // TILE_C)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_smallflow, b=b, d_v=d_v, d_h=d_h,
+                          h=h, w=w, n_chan=c, tr=tr),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((c, tr, TILE_C), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, win_r, win_c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(flow_x[0], flow_y[0], padded)
+    return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _grouped_warp_pallas_small(x, flow_x, flow_y, mask, group_num,
+                               b=_SMALL_BOUND, d_v=_SMALL_D_V, d_h=63):
+    """Grouped shift-sum tier for |flow| <= b."""
+    n, h, w, c_src = x.shape
+    if n > 1:
+        return jnp.concatenate(
+            [_grouped_warp_pallas_small(x[i:i + 1], flow_x[i:i + 1],
+                                        flow_y[i:i + 1], mask[i:i + 1],
+                                        group_num, b, d_v, d_h)
+             for i in range(n)], axis=0)
+    go = flow_x.shape[-1]
+    offset_num = go // group_num
+    cg = c_src // group_num
+    tr = _pick_tile_r(h)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    assert win_c % TILE_C == 0 and win_r % _VREG_R == 0
+
+    hp = _pad_to(h, tr)
+    wp = _pad_to(w, TILE_C)
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        x = jnp.pad(x, pad)
+        flow_x = jnp.pad(flow_x, pad)
+        flow_y = jnp.pad(flow_y, pad)
+        mask = jnp.pad(mask, pad)
+
+    planar = jnp.transpose(x[0], (2, 0, 1))
+    padded = jnp.pad(planar, ((0, 0), (d_v + 1, d_v + 1 + tr),
+                              (d_h + 1, d_h + 1 + TILE_C)))
+    fxp = jnp.transpose(flow_x[0], (2, 0, 1))
+    fyp = jnp.transpose(flow_y[0], (2, 0, 1))
+    mp = jnp.transpose(mask[0], (2, 0, 1))
+
+    grid = (hp // tr, wp // TILE_C)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_grouped_warp_kernel_smallflow, b=b, d_v=d_v,
+                          d_h=d_h, h=h, w=w, group_num=group_num,
+                          offset_num=offset_num, cg=cg, tr=tr),
+        out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((go * cg, tr, TILE_C),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c_src, win_r, win_c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fxp, fyp, mp, padded)
+    return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -410,8 +896,8 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
 
     return jax.lax.cond(
         tiny,
-        lambda ops: _flow_warp_pallas(ops[0], ops[1], ops[2],
-                                      _SMALL_D_V, d_h),
+        lambda ops: _flow_warp_pallas_cblock(ops[0], ops[1], ops[2],
+                                             _SMALL_BOUND, _SMALL_D_V, d_h),
         windowed_or_gather,
         (x, fx, fy, flow))
 
@@ -464,7 +950,9 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
 
     return jax.lax.cond(
         tiny,
-        lambda ops: _grouped_warp_pallas(ops[0], ops[1], ops[2], ops[3],
-                                         _SMALL_D_V, d_h, group_num),
+        lambda ops: _grouped_warp_pallas_cblock(ops[0], ops[1], ops[2],
+                                                ops[3], group_num,
+                                                _SMALL_BOUND, _SMALL_D_V,
+                                                d_h),
         windowed_or_gather,
         (x, flow_x, flow_y, mask))

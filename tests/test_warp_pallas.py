@@ -163,3 +163,124 @@ def test_shift_sum_grouped_exact():
         [mask] * cg, axis=-1)
     out = grouped_warp_shift_sum(x, fx, fy, mask, group_num, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_smallflow_kernel_exact():
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_small
+
+    rng = np.random.default_rng(41)
+    x = _rand((1, 14, 150, 4), 42)
+    f = rng.uniform(-2, 2, size=(1, 14, 150, 2)).astype(np.float32)
+    flow = jnp.asarray(f)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_small(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                  D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_smallflow_kernel_border_clamp():
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_small
+
+    x = _rand((1, 14, 150, 2), 43)
+    flow = jnp.full((1, 14, 150, 2), 2.0, jnp.float32)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_small(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                  D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_smallflow_grouped_kernel_exact():
+    from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_small
+
+    rng = np.random.default_rng(44)
+    g, cg, go = 4, 2, 8
+    x = _rand((1, 16, 128, 8), 45)
+    fx = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    mask = _rand((1, 16, 128, go), 46) ** 2
+    out = _grouped_warp_pallas_small(x, fx, fy, mask, g, 2, D_V, D_H)
+    # reference: eager per-unit bilinear warp in the block layout
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate([p for plane in planes for p in (plane,) * 2],
+                            axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
+                                                             axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_kernel_exact():
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    rng = np.random.default_rng(51)
+    x = _rand((1, 14, 150, 8), 52)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 14, 150, 2))
+                       .astype(np.float32))
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                   D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_kernel_border_clamp():
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    x = _rand((1, 14, 150, 8), 53)
+    flow = jnp.full((1, 14, 150, 2), 2.0, jnp.float32)
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                   D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_kernel_channel_padding():
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    rng = np.random.default_rng(54)
+    x = _rand((1, 16, 128, 3), 55)  # C=3 exercises the pad-to-8 path
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, 2))
+                       .astype(np.float32))
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                   D_H)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grouped_cblock_kernel_exact():
+    from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+    rng = np.random.default_rng(61)
+    g, cg, go = 4, 2, 8  # go % 8 == 0
+    x = _rand((1, 16, 128, 8), 62)
+    fx = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    mask = _rand((1, 16, 128, go), 63) ** 2
+    out = _grouped_warp_pallas_cblock(x, fx, fy, mask, g, 2, D_V, D_H)
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate([p for plane in planes for p in (plane,) * 2],
+                            axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
+                                                             axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grouped_cblock_kernel_unaligned_border():
+    from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+    g, cg, go = 4, 2, 8
+    h, w = 14, 150  # unaligned -> internal padding + true-border clamp
+    x = _rand((1, h, w, 8), 64)
+    fx = jnp.full((1, h, w, go), 2.0, jnp.float32)
+    fy = jnp.full((1, h, w, go), -2.0, jnp.float32)
+    mask = _rand((1, h, w, go), 65) ** 2
+    out = _grouped_warp_pallas_cblock(x, fx, fy, mask, g, 2, D_V, D_H)
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate([p for plane in planes for p in (plane,) * 2],
+                            axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
+                                                             axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

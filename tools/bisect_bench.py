@@ -90,6 +90,65 @@ def patch(variant):
             return x
 
         lssvc.offset_diversity = od_stub
+    elif variant == "no_four_part":
+        # single-pass latent coding in place of the 4-pass spatial prior
+        def single_pass(p, y, common_params, write=False):
+            half = common_params.shape[-1] // 2
+            scales = common_params[..., :half]
+            means = common_params[..., half:]
+            y_q = ops.ste_round(y - means)
+            y_hat = y_q + means
+            if write:
+                return [y_q] * 4, [scales] * 4, y_hat
+            return y - means, y_q, y_hat, scales
+
+        import lssvc_tpu.models.four_part_prior as fpp
+        lssvc.forward_four_part_prior = single_pass
+        fpp.forward_four_part_prior = single_pass
+    elif variant == "no_contexts":
+        # stub BOTH layers' temporal/hybrid context stacks (keeps AEs,
+        # priors, recon): measures motion-comp + fusion + OD end to end
+        def bl_ctx(p, ref, feature, mv):
+            b, h, w, _ = ref.shape
+            z = jnp.zeros((b, h, w, 64), ref.dtype)
+            return (z, jnp.zeros((b, h // 2, w // 2, 64), ref.dtype),
+                    jnp.zeros((b, h // 4, w // 4, 64), ref.dtype), ref)
+
+        def el_ctx(p, texture, mv, ref_el, feature_el, shape_hr):
+            b, h, w, _ = ref_el.shape
+            return (jnp.zeros((b, h, w, 48), ref_el.dtype),
+                    jnp.zeros((b, h // 2, w // 2, 64), ref_el.dtype),
+                    jnp.zeros((b, h // 4, w // 4, 96), ref_el.dtype),
+                    ref_el)
+
+        dmc.motion_compensation = bl_ctx
+        lssvc.hybrid_context_fusion = el_ctx
+    elif variant == "no_recon_gen":
+        def fit_ch(t, c):
+            if t.shape[-1] >= c:
+                return t[..., :c]
+            return jnp.pad(t, ((0, 0),) * 3 + ((0, c - t.shape[-1]),))
+
+        def recon_simple(p, feat, c1):
+            return fit_ch(feat, 64), feat[..., :3]
+
+        def recon_el(p, feat, c1):
+            return fit_ch(feat, 48), feat[..., :3]
+
+        dmc.recon_generation_simple = recon_simple
+        lssvc.el_recon_generation = recon_el
+        comp.recon_generation_simple = recon_simple
+    elif variant == "no_res_ae":
+        def enc_stub(p, x, c1, c2, c3):
+            b, h, w, _ = x.shape
+            return jnp.zeros((b, h // 16, w // 16, 128), x.dtype)
+
+        def dec_stub(p, y_hat, c2, c3):
+            b, h, w, _ = y_hat.shape
+            return jnp.zeros((b, h * 16, w * 16, 32), y_hat.dtype)
+
+        lssvc.el_res_encoder = enc_stub
+        lssvc.el_res_decoder = dec_stub
     elif variant != "full":
         raise ValueError(variant)
 

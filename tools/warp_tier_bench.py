@@ -94,6 +94,30 @@ def main():
         elif name == "single_shift_sum":
             fn = jax.jit(lambda x_, f_: flow_warp_shift_sum(x_, f_, 2))
             args = (x, flow)
+        elif name == "single_smallflow":
+            from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_small
+
+            fn = jax.jit(lambda x_, f_: _flow_warp_pallas_small(
+                x_, f_[..., 0], f_[..., 1], 2, 3, 63))
+            args = (x, flow)
+        elif name == "single_cblock":
+            from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+            fn = jax.jit(lambda x_, f_: _flow_warp_pallas_cblock(
+                x_, f_[..., 0], f_[..., 1], 2, 3, 63))
+            args = (x, flow)
+        elif name == "grouped_cblock":
+            from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+            fn = jax.jit(lambda x_, fx_, fy_, m_: _grouped_warp_pallas_cblock(
+                x_, fx_, fy_, m_, 16, 2, 3, 63))
+            args = (x, fx, fy, mask)
+        elif name == "grouped_smallflow":
+            from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_small
+
+            fn = jax.jit(lambda x_, fx_, fy_, m_: _grouped_warp_pallas_small(
+                x_, fx_, fy_, m_, 16, 2, 3, 63))
+            args = (x, fx, fy, mask)
         else:
             raise ValueError(name)
         dt = chain_time(fn, args)
