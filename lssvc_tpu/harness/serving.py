@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+import jax
 import jax.numpy as jnp
 
 from ..models import pipeline
@@ -61,6 +62,11 @@ def encode_gop(i_frame_net, video_net, frames_bl, frames_el, gop_size,
                 # reference clamps the DPB frames in place between frames
                 dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
                 dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+                # pace to one frame in flight + async plane prefetch (see
+                # pipeline.encode_sequence; measured 1.4x vs sequential)
+                for leaf in jax.tree.leaves((bl_planes, el_planes)):
+                    leaf.copy_to_host_async()
+                jax.block_until_ready(dpb["ref_frame_el"])
                 futs[t] = pool.submit(pipeline._host_code_frame, video_net,
                                       bl_planes, el_planes,
                                       bl_paths[t], el_paths[t])

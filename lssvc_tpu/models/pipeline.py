@@ -77,6 +77,8 @@ def encode_sequence(model, frames_bl, frames_el, dpb, bl_paths, el_paths):
     `encode_decode_extend` loop (same planes, same coders) and decode with
     the standard `decompress` path.
     """
+    import jax
+
     n = len(bl_paths)
     assert len(el_paths) == n
     with ThreadPoolExecutor(max_workers=1) as pool:  # in-order host coding
@@ -84,6 +86,17 @@ def encode_sequence(model, frames_bl, frames_el, dpb, bl_paths, el_paths):
         for t in range(n):
             bl_planes, el_planes, dpb = _frame_device(
                 model, frames_bl[t], frames_el[t], dpb)
+            # pace to ONE frame in flight: the device admits only ~8
+            # outstanding programs at full speed (docs/PERFORMANCE.md), and
+            # a frame is ~12 — enqueueing the whole sequence degrades the
+            # device ~2x and was measured SLOWER than sequential.  Blocking
+            # here leaves the worker's host rANS of frame t-1/t overlapped
+            # with frame t+1's enqueue + execution.  Plane transfers start
+            # asynchronously from the main thread so the worker's
+            # np.asarray finds data already host-resident.
+            for leaf in jax.tree.leaves((bl_planes, el_planes)):
+                leaf.copy_to_host_async()
+            jax.block_until_ready(dpb["ref_frame_el"])
             futures.append(pool.submit(_host_code_frame, model, bl_planes,
                                        el_planes, bl_paths[t], el_paths[t]))
         bits = [f.result() for f in futures]
