@@ -361,17 +361,17 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
 
 
 def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
-                                win_ref, cx_ref, cy_ref, cwx_ref, cwy_ref,
-                                sem, *, b, d_v, d_h, h, w, go, tr):
+                                win_ref, sem, *, b, d_v, d_h, h, w, go, tr):
     """Grouped small-flow kernel, channel-blocked: the source arrives
     PRE-EXPANDED to block layout (H, go*cg, W) (channel c' = k*go + j is
     unit j's source channel k), so a block of 8 consecutive c' within one k
     maps to 8 consecutive warp units — one (8, 128) vreg load + one
     take_along_axis with PER-SUBLANE indices warps 8 units at once.
 
-    Per-tile: sample coordinates for all go units go into VMEM scratch as
-    (go, tr, TILE_C) planes; the inner loop slices the 8-unit stripe at the
-    current output row.  Requires |flow| <= b and go % 8 == 0."""
+    Flows/mask arrive stripe-major (tr, go, TILE_C): the (8-unit, 128-lane)
+    stripe at output row i is a clean contiguous vreg load, and sample
+    coordinates are computed inline per stripe (no scratch round-trip).
+    Requires |flow| <= b and go % 8 == 0."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     win_r = tr + 2 * d_v + 2
@@ -386,30 +386,26 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
         x_ref.at[pl.ds(ti * tr, win_r), :, pl.ds(tj * TILE_C, win_c)],
         win_ref, sem)
     copy.start()
-
-    # per-unit clamped sample coords -> scratch planes
-    def unit_coords(j, _):
-        lx0, ly0, wx, wy = _sample_coords(
-            fx_ref[j, :, :], fy_ref[j, :, :], ti, tj, tr, h, w, d_v, d_h,
-            win_r, win_c)
-        cx_ref[j, :, :] = lx0.astype(jnp.float32)
-        cy_ref[j, :, :] = ly0.astype(jnp.float32)
-        cwx_ref[j, :, :] = wx
-        cwy_ref[j, :, :] = wy
-        return 0
-
-    jax.lax.fori_loop(0, go, unit_coords, 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_VREG_R, TILE_C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_VREG_R, TILE_C), 1)
+    ix = (lane + tj * TILE_C).astype(jnp.float32)
     copy.wait()
 
     def row_body(i, _):
+        iy = (ti * tr + i).astype(jnp.float32)
         for ub in range(n_ub):
             us = ub * _VREG_R
-            # (8 units, TILE_C) stripes at output row i
-            lx0 = cx_ref[us:us + _VREG_R, i, :].astype(jnp.int32)
-            ly0 = cy_ref[us:us + _VREG_R, i, :].astype(jnp.int32)
-            wx = cwx_ref[us:us + _VREG_R, i, :]
-            wy = cwy_ref[us:us + _VREG_R, i, :]
+            fx = fx_ref[i, us:us + _VREG_R, :]
+            fy = fy_ref[i, us:us + _VREG_R, :]
+            px = jnp.clip(ix + fx, 0.0, w - 1.0)
+            py = jnp.clip(iy + fy, 0.0, h - 1.0)
+            x0 = jnp.floor(px)
+            y0 = jnp.floor(py)
+            wx = px - x0
+            wy = py - y0
+            lx0 = jnp.clip(x0.astype(jnp.int32) - (tj * TILE_C - d_h - 1),
+                           0, win_c - 2)
+            ly0 = jnp.clip(y0.astype(jnp.int32) - (ti * tr - d_v - 1),
+                           0, win_r - 2)
             ry0 = ly0 - i  # window-row offset of the floor tap
             for k in range(cg):
                 acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
@@ -428,7 +424,7 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                         g0 = jnp.take_along_axis(v, i0, axis=1)
                         g1 = jnp.take_along_axis(v, i1, axis=1)
                         acc = acc + (g0 * w0 + g1 * w1) * vw
-                m = mask_ref[us:us + _VREG_R, i, :]
+                m = mask_ref[i, us:us + _VREG_R, :]
                 out_ref[k * go + us:k * go + us + _VREG_R, i, :] = acc * m
         return 0
 
@@ -473,9 +469,10 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
     planar = jnp.transpose(x_blk, (0, 2, 1))  # (H, go*cg, W)
     padded = jnp.pad(planar, ((d_v + 1, d_v + 1 + tr), (0, 0),
                               (d_h + 1, d_h + 1 + TILE_C)))
-    fxp = jnp.transpose(flow_x[0], (2, 0, 1))
-    fyp = jnp.transpose(flow_y[0], (2, 0, 1))
-    mp = jnp.transpose(mask[0], (2, 0, 1))
+    # stripe-major flows/mask: (H, go, W)
+    fxp = jnp.transpose(flow_x[0], (0, 2, 1))
+    fyp = jnp.transpose(flow_y[0], (0, 2, 1))
+    mp = jnp.transpose(mask[0], (0, 2, 1))
 
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
@@ -485,11 +482,11 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
         out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+            pl.BlockSpec((tr, go, TILE_C), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+            pl.BlockSpec((tr, go, TILE_C), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((go, tr, TILE_C), lambda i, j: (0, i, j),
+            pl.BlockSpec((tr, go, TILE_C), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -498,10 +495,6 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((win_r, go * cg, win_c), jnp.float32),
-            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
-            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
-            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
-            pltpu.VMEM((go, tr, TILE_C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
