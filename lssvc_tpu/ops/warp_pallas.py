@@ -279,8 +279,7 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
             w0_i = brow(w0_full)
             w1_i = brow(w1_full)
             for cb in range(n_cb):
-                acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
-                for rp in range(d_v + 1 - b, d_v + 1 + b + 2):
+                def tap(rp, acc):
                     # vertical weight for tap row i+rp, broadcast over the
                     # 8 channels of this block
                     vw = ((ry_i == rp).astype(jnp.float32) * (one - wy_i)
@@ -289,7 +288,15 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                                 cu * TILE_C:(cu + 1) * TILE_C]
                     g0 = jnp.take_along_axis(v, i0_i, axis=1)
                     g1 = jnp.take_along_axis(v, i1_i, axis=1)
-                    acc = acc + (g0 * w0_i + g1 * w1_i) * vw
+                    return acc + (g0 * w0_i + g1 * w1_i) * vw
+
+                rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
+                acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+                if rp_hi - rp_lo <= 12:  # tiny tier: unroll statically
+                    for rp in range(rp_lo, rp_hi):
+                        acc = tap(rp, acc)
+                else:  # mid tier (large window): dynamic tap loop
+                    acc = jax.lax.fori_loop(rp_lo, rp_hi, tap, acc)
                 if cu == 0:
                     out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
                 else:

@@ -284,3 +284,19 @@ def test_grouped_cblock_kernel_unaligned_border():
     ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
                                                              axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_kernel_large_window():
+    """Mid-tier configuration (b=d_v, dynamic tap loop) must stay exact for
+    flows up to d_v-1."""
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    rng = np.random.default_rng(71)
+    d_v = 11  # window big enough to take the fori_loop path (2b+2=24 > 12)
+    x = _rand((1, 14, 150, 8), 72)
+    flow = jnp.asarray(rng.uniform(-(d_v - 1), d_v - 1, (1, 14, 150, 2))
+                       .astype(np.float32))
+    ref = flow_warp(x, flow)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], d_v, d_v,
+                                   D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

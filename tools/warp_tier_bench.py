@@ -100,6 +100,15 @@ def main():
             fn = jax.jit(lambda x_, f_: _flow_warp_pallas_small(
                 x_, f_[..., 0], f_[..., 1], 2, 3, 63))
             args = (x, flow)
+        elif name == "single_cblock_27":
+            # mid-tier window (b=d_v=27, dynamic tap loop): flows up to 26px
+            from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+            flow27 = jax.random.uniform(ks[5], (1, H, W, 2), minval=-20.0,
+                                        maxval=20.0)
+            fn = jax.jit(lambda x_, f_: _flow_warp_pallas_cblock(
+                x_, f_[..., 0], f_[..., 1], 27, 27, 63))
+            args = (x, flow27)
         elif name == "single_cblock":
             from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
 
