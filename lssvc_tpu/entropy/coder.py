@@ -203,6 +203,32 @@ def channel_indexes(shape_nhwc) -> np.ndarray:
     return np.repeat(np.tile(np.arange(c, dtype=np.int32), n), h * w)
 
 
+class StreamDecoder:
+    """Independent decode handle over one rANS stream (own RansDecoder
+    state, shared CDF tables).  Lets two layers'/frames' streams decode
+    concurrently on host threads — the ctypes calls release the GIL, so
+    distinct handles genuinely parallelize (pipeline.decode_sequence)."""
+
+    def __init__(self, gaussian_table: CdfTable, string: bytes):
+        self.gaussian_table = gaussian_table
+        self.decoder = RansDecoder()
+        self.decoder.set_stream(string)
+
+    def decode_factorized(self, shape_nhwc, table: CdfTable) -> np.ndarray:
+        indexes = channel_indexes(shape_nhwc)
+        vals = self.decoder.decode_stream(indexes, table.cdfs, table.sizes,
+                                          table.offsets)
+        return symbol_order_to_nhwc(vals, shape_nhwc).astype(np.float32)
+
+    def decode_gaussian(self, index_nhwc) -> np.ndarray:
+        shape = np.asarray(index_nhwc).shape
+        indexes = nhwc_to_symbol_order(index_nhwc)
+        vals = self.decoder.decode_stream(indexes, self.gaussian_table.cdfs,
+                                          self.gaussian_table.sizes,
+                                          self.gaussian_table.offsets)
+        return symbol_order_to_nhwc(vals, shape).astype(np.float32)
+
+
 class VideoCoder:
     """Entropy coder bundle for the video models (DMCExtend / LSSVCExtend):
     two factorized tables (z, mv_z) + one shared Laplace table."""
@@ -213,6 +239,10 @@ class VideoCoder:
         self.gaussian_table = build_laplace_table()
         self.encoder = BufferedRansEncoder()
         self.decoder = RansDecoder()
+
+    def open_stream(self, string: bytes) -> StreamDecoder:
+        """Independent decoder over `string` (does not disturb self.decoder)."""
+        return StreamDecoder(self.gaussian_table, string)
 
     # encode side ------------------------------------------------------------
 
@@ -269,7 +299,10 @@ class IntraCoder:
     # EntropyBottleneck ------------------------------------------------------
 
     def eb_compress(self, z_nhwc) -> list:
+        from ..utils.checks import assert_finite_np
+
         z = np.asarray(z_nhwc)
+        assert_finite_np("EntropyBottleneck.compress", z=z)
         med = self.medians[None, None, None, :]
         symbols = np.round(z - med).astype(np.int32)
         strings = []
@@ -299,8 +332,11 @@ class IntraCoder:
     # GaussianConditional ----------------------------------------------------
 
     def gc_compress(self, y_nhwc, index_nhwc, means_nhwc) -> list:
+        from ..utils.checks import assert_finite_np
+
         y = np.asarray(y_nhwc)
         means = np.asarray(means_nhwc)
+        assert_finite_np("GaussianConditional.compress", y=y, means=means)
         symbols = np.round(y - means).astype(np.int32)
         strings = []
         for i in range(y.shape[0]):

@@ -70,6 +70,7 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
     save_decoded_frame = bool(args_dict.get("save_decoded_frame"))
     save_decoded_mv = bool(args_dict.get("save_decoded_mv"))
     save_warp_frame = bool(args_dict.get("save_warp_frame"))
+    save_decoded_context = bool(args_dict.get("save_decoded_context"))
     verbose = int(args_dict.get("verbose", 0))
     ratio = args_dict["ratio"]
     scale_factor = RATIO_FACTORS[ratio]
@@ -134,7 +135,7 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
         bin_el = (os.path.join(args_dict["bin_folder"], ratio, "EL",
                                f"{frame_idx}.bin") if write_stream else None)
 
-        mv_el = warp_frame_el = None
+        mv_el = warp_frame_el = context_el = None
         if frame_idx % gop_size == 0:
             if write_stream:
                 result = i_frame_net.encode_decode(
@@ -168,6 +169,7 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
             dpb = result["dpb"]
             mv_el = result.get("mv_hat")
             warp_frame_el = result.get("warp_frame")
+            context_el = result.get("context")
             bit_bl = result["bit_bl"]
             bit_el = result["bit_el"]
             frame_types.append(1)
@@ -187,7 +189,7 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
 
         def process_metrics(frame_idx, bit_bl, bit_el, x_hat_bl_dev,
                             x_hat_el_dev, rgb_bl, rgb_el, planes_bl,
-                            planes_el, mv_el, warp_frame_el):
+                            planes_el, mv_el, warp_frame_el, context_el):
             """Host-side work for one frame (runs while the device computes
             the NEXT frame — one-frame software pipeline)."""
             x_hat_bl = _to_host_chw(x_hat_bl_dev)
@@ -208,11 +210,14 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
             if save_warp_frame and warp_frame_el is not None:
                 _save_warp_artifact(args_dict, ratio, frame_idx,
                                     warp_frame_el, p_size_el)
+            if save_decoded_context and context_el is not None:
+                _save_context_artifact(args_dict, ratio, frame_idx,
+                                       context_el)
 
         pending_args = (frame_idx, bit_bl, bit_el, x_hat_bl_dev,
                         x_hat_el_dev, rgb_bl, rgb_el,
                         (y_bl_p, u_bl_p, v_bl_p), (y_el_p, u_el_p, v_el_p),
-                        mv_el, warp_frame_el)
+                        mv_el, warp_frame_el, context_el)
         if pending is not None:
             process_metrics(*pending)
         pending = pending_args
@@ -266,21 +271,35 @@ def _save_warp_artifact(args_dict, ratio, frame_idx, warp_frame, p_size_el):
     Image.fromarray(arr).save(os.path.join(folder, f"{frame_idx}.png"))
 
 
+def _save_context_artifact(args_dict, ratio, frame_idx, context):
+    """Decoded-context dump: per-pixel channel mean of the EL fused context
+    c1, min-max normalized to a grayscale PNG.  (The reference accepts
+    --save_decoded_context and creates the folder but never writes into it,
+    `test.py:598-613`; we write an actual visualization.)"""
+    from PIL import Image
+
+    folder = os.path.join(args_dict["decoded_context_folder"], ratio)
+    os.makedirs(folder, exist_ok=True)
+    ctx = np.asarray(context, dtype=np.float32)[0].mean(axis=-1)  # (H, W)
+    lo, hi = float(ctx.min()), float(ctx.max())
+    norm = (ctx - lo) / (hi - lo) if hi > lo else np.zeros_like(ctx)
+    arr = np.clip(np.rint(norm * 255), 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(os.path.join(folder, f"{frame_idx}.png"))
+
+
 def encode_one(args_dict, device=None):
     """Build models from checkpoints and run one task
     (`test.py:540-632`)."""
-    from ..convert import load_torch_checkpoint
     from ..models import IntraSS
     from ..models.lssvc import LSSVCExtend
+    from ..parallel.scheduler import _load_net
 
-    i_frame_net = IntraSS.from_torch_state_dict(
-        load_torch_checkpoint(args_dict["i_frame_model_path"]))
+    i_frame_net = _load_net(IntraSS, args_dict["i_frame_model_path"])
 
     if args_dict.get("force_intra"):
         video_net = None
     else:
-        video_net = LSSVCExtend.from_torch_state_dict(
-            load_torch_checkpoint(args_dict["video_model_path"]))
+        video_net = _load_net(LSSVCExtend, args_dict["video_model_path"])
 
     if args_dict.get("write_stream"):
         if video_net is not None:
@@ -302,7 +321,8 @@ def encode_one(args_dict, device=None):
         str(args_dict.get("model_idx", 0)))
     for key, flag in (("decoded_frame_folder", "decoded_frame_path"),
                       ("decoded_mv_folder", "decoded_mv_path"),
-                      ("warp_frame_folder", "warp_frame_path")):
+                      ("warp_frame_folder", "warp_frame_path"),
+                      ("decoded_context_folder", "decoded_context_path")):
         args_dict[key] = os.path.join(
             args_dict.get(flag, key), sub_dir_name,
             str(args_dict.get("model_idx", 0)))

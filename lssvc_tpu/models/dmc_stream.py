@@ -54,7 +54,8 @@ def _enc_mv_analysis(params, x, ref_frame):
     est_mv = dmc.me_spynet(p.sub("optic_flow"), x, ref_frame)
     mv_y = dmc.mv_encoder(p.sub("mv_encoder"), est_mv)
     mv_z = dmc.hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
-    return mv_y, jnp.round(mv_z).astype(jnp.int32)
+    ok = jnp.isfinite(mv_y).all() & jnp.isfinite(mv_z).all()
+    return mv_y, jnp.round(mv_z).astype(jnp.int32), ok
 
 
 @jax.jit
@@ -65,7 +66,8 @@ def _enc_res_analysis(params, x, c1, c2, c3):
     p = P(params)
     y = gdn_res_encoder(p.sub("res_encoder"), x, c1, c2, c3)
     z = dmc.hyper_encoder(p.sub("res_prior_encoder"), y)
-    return y, jnp.round(z).astype(jnp.int32)
+    ok = jnp.isfinite(y).all() & jnp.isfinite(z).all()
+    return y, jnp.round(z).astype(jnp.int32), ok
 
 
 @jax.jit
@@ -78,14 +80,18 @@ def _quantize_i(y, means):
 def encode_device(params, x, ref_frame, ref_feature):
     """All device work for one BL frame, closed-loop staged (see module
     docstring).  Returns (planes, dpb); nothing crosses to the host."""
-    mv_y, mv_z_i = _enc_mv_analysis(params, x, ref_frame)
+    from ..utils.checks import assert_finite
+
+    mv_y, mv_z_i, mv_ok = _enc_mv_analysis(params, x, ref_frame)
     mv_idx, mv_means = _dec_stage_mv_prior(params, _f32(mv_z_i))
     mv_y_q_i = _quantize_i(mv_y, mv_means)
     mv_hat, c1, c2, c3 = _dec_stage_contexts(params, _f32(mv_y_q_i), mv_means,
                                              ref_frame, ref_feature)
-    y, z_i = _enc_res_analysis(params, x, c1, c2, c3)
+    y, z_i, y_ok = _enc_res_analysis(params, x, c1, c2, c3)
     y_idx, y_means = _dec_stage_y_prior(params, _f32(z_i), c1, c2, c3)
     y_q_i = _quantize_i(y, y_means)
+    assert_finite("DMC BL encode", mv_analysis=mv_ok, mv_means=mv_means,
+                  res_analysis=y_ok, y_means=y_means)
     recon, feature, y_hat = _dec_stage_recon(params, _f32(y_q_i), y_means,
                                              c1, c2, c3)
     planes = {

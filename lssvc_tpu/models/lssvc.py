@@ -220,6 +220,7 @@ def el_forward(params, x_el, ref_el, feature_el, texture_bl, mv_bl_hat,
         "bits_el": bits_el,
         "mv_hat": mc["mv_hat"],
         "warp_frame": warp_frame,
+        "context": c1,
     }
 
 
@@ -249,6 +250,7 @@ def forward_one_frame(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
         "bit_el": el["bits_el"],
         "mv_hat": el["mv_hat"],
         "warp_frame": el["warp_frame"],
+        "context": el["context"],
     }
 
 
@@ -290,6 +292,7 @@ def forward_one_frame_staged(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
         "bit_el": el["bits_el"],
         "mv_hat": el["mv_hat"],
         "warp_frame": el["warp_frame"],
+        "context": el["context"],
     }
 
 
@@ -351,6 +354,7 @@ class LSSVC(Model):
             "decoding_time_BL": 0.0,
             "mv_hat": out["mv_hat"],
             "warp_frame": out["warp_frame"],
+            "context": out["context"],
         }
 
 
@@ -416,4 +420,5 @@ class LSSVCExtend(LSSVC):
             "decoding_time_BL": bl_result["decoding_time"],
             "mv_hat": encoded["dpb"]["mv_hat"],
             "warp_frame": encoded["dpb"]["warp_frame"],
+            "context": decoded.get("context"),
         }

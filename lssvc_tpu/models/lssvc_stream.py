@@ -71,7 +71,8 @@ def _enc_mv_analysis(params, x_el, ref_el, mv_ctx):
     mv = me_spynet(p.sub("optic_flow"), x_el, ref_el)
     mv_y = mv_res_encoder(p.sub("mv_encoder"), mv, mv_ctx)
     mv_z = mv_hyper_encoder(p.sub("mv_prior_encoder"), mv_y)
-    return mv_y, jnp.round(mv_z).astype(jnp.int32)
+    ok = jnp.isfinite(mv_y).all() & jnp.isfinite(mv_z).all()
+    return mv_y, jnp.round(mv_z).astype(jnp.int32), ok
 
 
 @jax.jit
@@ -79,7 +80,8 @@ def _enc_res_analysis(params, x_el, c1, c2, c3):
     p = P(params)
     y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
     z = res_prior_encoder(p.sub("res_prior_encoder"), y)
-    return y, jnp.round(z).astype(jnp.int32)
+    ok = jnp.isfinite(y).all() & jnp.isfinite(z).all()
+    return y, jnp.round(z).astype(jnp.int32), ok
 
 
 @jax.jit
@@ -109,14 +111,18 @@ def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
     (planes, dpb); the DPB is bit-identical to the decoder's."""
     mv_ctx, mv_ctx_prior = _dec_mv_setup_jit(params, mv_bl_hat, shape_hr,
                                              scale_factor)
-    mv_y, mv_z_i = _enc_mv_analysis(params, x_el, ref_el, mv_ctx)
+    from ..utils.checks import assert_finite
+
+    mv_y, mv_z_i, mv_ok = _enc_mv_analysis(params, x_el, ref_el, mv_ctx)
     mv_idx, mv_means = _dec_mv_prior(params, _f32(mv_z_i), mv_ctx_prior)
     mv_y_q_i = _quantize_i(mv_y, mv_means)
     mv_hat, c1, c2, c3, warp_frame = _dec_contexts_jit(
         params, _f32(mv_y_q_i), mv_means, mv_ctx, texture, ref_el,
         feature_el, shape_hr)
-    y, z_i = _enc_res_analysis(params, x_el, c1, c2, c3)
+    y, z_i, y_ok = _enc_res_analysis(params, x_el, c1, c2, c3)
     common = _dec_common_params_jit(params, _f32(z_i), c3, y_bl_hat, shape_hr)
+    assert_finite("LSSVC EL encode", mv_analysis=mv_ok, mv_means=mv_means,
+                  res_analysis=y_ok, common_params=common)
 
     half = common.shape[-1] // 2
     means_4 = jnp.stack(jnp.split(common[..., half:], 4, axis=-1))
@@ -310,5 +316,6 @@ def decompress(model, string, height, width, dpb):
         "dpb": {
             "ref_frame_el": recon,
             "ref_feature_el": feature,
-        }
+        },
+        "context": c1,
     }

@@ -16,21 +16,31 @@ from concurrent.futures import ThreadPoolExecutor
 _MODEL_CACHE: dict = {}
 
 
+def _load_net(cls, path, **kw):
+    """torch .pth or native .npz (checkpoint.py) — same loader decode.py
+    uses, so models trained in-framework evaluate through test.py too."""
+    if path.endswith(".npz"):
+        from ..checkpoint import load_params
+
+        params, _ = load_params(path)
+        return cls(params, **kw)
+    from ..convert import load_torch_checkpoint
+
+    return cls.from_torch_state_dict(load_torch_checkpoint(path), **kw)
+
+
 def _get_models(task):
     """Load (i_frame_net, video_net) with caching by checkpoint paths."""
-    from ..convert import load_torch_checkpoint
     from ..models import IntraSS
     from ..models.lssvc import LSSVCExtend
 
     key = (task["i_frame_model_path"],
            None if task.get("force_intra") else task["video_model_path"])
     if key not in _MODEL_CACHE:
-        i_frame_net = IntraSS.from_torch_state_dict(
-            load_torch_checkpoint(task["i_frame_model_path"]))
+        i_frame_net = _load_net(IntraSS, task["i_frame_model_path"])
         video_net = None
         if not task.get("force_intra"):
-            video_net = LSSVCExtend.from_torch_state_dict(
-                load_torch_checkpoint(task["video_model_path"]))
+            video_net = _load_net(LSSVCExtend, task["video_model_path"])
         if task.get("write_stream"):
             i_frame_net.update(force=True)
             if video_net is not None:
@@ -53,7 +63,8 @@ def run_one(task: dict):
                                       sub_dir, str(task.get("model_idx", 0)))
     for key, flag in (("decoded_frame_folder", "decoded_frame_path"),
                       ("decoded_mv_folder", "decoded_mv_path"),
-                      ("warp_frame_folder", "warp_frame_path")):
+                      ("warp_frame_folder", "warp_frame_path"),
+                      ("decoded_context_folder", "decoded_context_path")):
         task[key] = os.path.join(task.get(flag, key), sub_dir,
                                  str(task.get("model_idx", 0)))
 

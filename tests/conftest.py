@@ -21,6 +21,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (per-platform dir, utils/cache.py): the suite is
+# dominated by XLA:CPU compiles on this 1-core host; cache hits cut repeat
+# runs by minutes.  Entries are keyed by jaxlib version + HLO, so stale
+# entries are never wrongly reused after code changes.
+from lssvc_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
