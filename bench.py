@@ -58,6 +58,11 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
 
         set_precision_mode("bf16")
         set_bf16_outputs(False)
+    elif mode == "bf16_packed":  # width-packed full-res conv stacks
+        from lssvc_tpu.ops.nn import set_packed_width
+
+        set_precision_mode("bf16")
+        set_packed_width(2)
     elif mode == "bf16_einsum":  # ablation: 1x1 convs as einsum matmuls
         from lssvc_tpu.ops.nn import set_conv1x1_einsum
 

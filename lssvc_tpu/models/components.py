@@ -21,6 +21,7 @@ from ..ops import (
     leaky_relu, relu, gdn, bilinear_resize, bilinear_upsample2,
     bilinear_downsample2,
 )
+from ..ops.nn import packed_width
 from ..ops.warp_pallas import flow_warp_auto as flow_warp
 
 
@@ -154,8 +155,18 @@ def depth_conv_block(p, x, stride=1, slope_depth_conv=0.01, slope_ffn=0.1):
 
 
 def unet(p, x):
-    """Two-level UNet of DepthConvBlocks (`lssvc_modules.py:295-336`)."""
-    x1 = depth_conv_block(p.sub("conv1"), x)
+    """Two-level UNet of DepthConvBlocks (`lssvc_modules.py:295-336`).
+
+    The two full-res DepthConvBlocks (conv1, up_conv2) route through the
+    width-packed domain in serving mode (ops/packed.py) — they are the
+    UNet's HBM-traffic hot spots at 1080p."""
+    if packed_width() == 2:
+        from .packed_blocks import p_depth_conv_block, packed_region
+
+        x1 = packed_region(
+            x, lambda xp: p_depth_conv_block(p.sub("conv1"), xp))
+    else:
+        x1 = depth_conv_block(p.sub("conv1"), x)
     x2 = max_pool2d(x1, 2)
     x2 = depth_conv_block(p.sub("conv2"), x2)
     x3 = max_pool2d(x2, 2)
@@ -165,8 +176,13 @@ def unet(p, x):
     d3 = subpel_conv(p.sub("up3"), x3, 2)
     d3 = depth_conv_block(p.sub("up_conv3"), jnp.concatenate([x2, d3], axis=-1))
     d2 = subpel_conv(p.sub("up2"), d3, 2)
-    d2 = depth_conv_block(p.sub("up_conv2"), jnp.concatenate([x1, d2], axis=-1))
-    return d2
+    cat = jnp.concatenate([x1, d2], axis=-1)
+    if packed_width() == 2:
+        from .packed_blocks import p_depth_conv_block, packed_region
+
+        return packed_region(
+            cat, lambda xp: p_depth_conv_block(p.sub("up_conv2"), xp))
+    return depth_conv_block(p.sub("up_conv2"), cat)
 
 
 # ---------------------------------------------------------------------------
@@ -175,8 +191,17 @@ def unet(p, x):
 def feature_extractor_3scale(p, x, slope=0.01):
     """conv/res x3 with stride-2 between scales (`dmc_net.py:11-31`,
     `lssvc_modules.py:157-200`)."""
-    l1 = conv(p.sub("conv1"), x)
-    l1 = res_block(p.sub("res_block1"), l1, slope)
+    if packed_width() == 2:
+        from .packed_blocks import p_res_block, packed_region, pconv
+
+        def tail(xp):
+            f = pconv(p.sub("conv1"), xp)
+            return p_res_block(p.sub("res_block1"), f, slope)
+
+        l1 = packed_region(x, tail)
+    else:
+        l1 = conv(p.sub("conv1"), x)
+        l1 = res_block(p.sub("res_block1"), l1, slope)
     l2 = conv(p.sub("conv2"), l1, stride=2)
     l2 = res_block(p.sub("res_block2"), l2, slope)
     l3 = conv(p.sub("conv3"), l2, stride=2)
@@ -197,8 +222,17 @@ def multi_scale_context_fusion(p, c1, c2, c3, slope=0.01):
     c2_out = conv(p.sub("conv2_out"), cat32)
     c2_out = res_block(p.sub("res_block2_out"), c2_out, slope)
     cat21 = jnp.concatenate([c2_up, c1], axis=-1)
-    c1_out = conv(p.sub("conv1_out"), cat21)
-    c1_out = res_block(p.sub("res_block1_out"), c1_out, slope)
+    if packed_width() == 2:
+        from .packed_blocks import p_res_block, packed_region, pconv
+
+        def tail(xp):
+            f = pconv(p.sub("conv1_out"), xp)
+            return p_res_block(p.sub("res_block1_out"), f, slope)
+
+        c1_out = packed_region(cat21, tail)
+    else:
+        c1_out = conv(p.sub("conv1_out"), cat21)
+        c1_out = res_block(p.sub("res_block1_out"), c1_out, slope)
     return c1 + c1_out, c2 + c2_out, c3 + c3_out
 
 
@@ -240,7 +274,17 @@ def gdn_res_decoder(p, y, c2, c3):
 def recon_generation_simple(p, ctx, res):
     """conv + 2 ResBlocks + recon conv (`dmc_net.py:143-156`,
     `layers.py:398-411`). Returns (feature, recon)."""
-    f = conv(p.sub("feature_conv.0"), jnp.concatenate([ctx, res], axis=-1))
+    cat = jnp.concatenate([ctx, res], axis=-1)
+    if packed_width() == 2:
+        from .packed_blocks import p_res_block, packed_region, pconv
+        from ..ops.packed import pack_width, unpack_width
+
+        fp = pconv(p.sub("feature_conv.0"), pack_width(cat, 2))
+        fp = p_res_block(p.sub("feature_conv.1"), fp)
+        fp = p_res_block(p.sub("feature_conv.2"), fp)
+        recon = unpack_width(pconv(p.sub("recon_conv"), fp), 2)
+        return unpack_width(fp, 2), recon
+    f = conv(p.sub("feature_conv.0"), cat)
     f = res_block(p.sub("feature_conv.1"), f)
     f = res_block(p.sub("feature_conv.2"), f)
     recon = conv(p.sub("recon_conv"), f)
@@ -262,7 +306,23 @@ def temporal_prior_encoder_gdn(p, c1, c2, c3):
 # SpyNet motion estimation
 
 def me_basic(p, x):
-    """5-layer 7x7 CNN refinement (`video_net_component.py:191-210`)."""
+    """5-layer 7x7 CNN refinement (`video_net_component.py:191-210`).
+
+    Serving mode runs it width-packed at p=4: the 8/32/64/32/16-channel
+    7x7 convs are MXU-utilization-bound (C far below the 128 lanes;
+    docs/PERFORMANCE.md §spynet-attribution), and p=4 multiplies channels
+    by 4 (32..256) for 1.71x the MACs — a trade that rides the systolic
+    array instead of idling it.  7-wide taps pack to 3-wide at p=4."""
+    if packed_width() == 2 and x.shape[2] % 4 == 0:
+        from ..ops.packed import pack_width, unpack_width
+        from .packed_blocks import pconv
+
+        xp = pack_width(x, 4)
+        xp = relu(pconv(p.sub("conv1"), xp, p=4))
+        xp = relu(pconv(p.sub("conv2"), xp, p=4))
+        xp = relu(pconv(p.sub("conv3"), xp, p=4))
+        xp = relu(pconv(p.sub("conv4"), xp, p=4))
+        return unpack_width(pconv(p.sub("conv5"), xp, p=4), 4)
     x = relu(conv(p.sub("conv1"), x))
     x = relu(conv(p.sub("conv2"), x))
     x = relu(conv(p.sub("conv3"), x))

@@ -25,6 +25,7 @@ from ..ops import (
     conv2d,
     leaky_relu,
 )
+from ..ops.nn import packed_width
 from ..ops.warp_pallas import grouped_warp_auto
 from .components import (
     conv,
@@ -114,27 +115,60 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
 
 
 def hybrid_weight_generator(p, ctx_temp, ctx_spat):
-    """Per-scale softmax blending maps (`lssvc_modules.py:115-154`)."""
+    """Per-scale softmax blending maps (`lssvc_modules.py:115-154`).
+
+    The 1x (48ch) and 2x (64ch) generators run width-packed in serving
+    mode; the 4x generator stays plain (96ch is already lane-full)."""
     maps_t, maps_s = [], []
     for i in (1, 2, 3):
         g = p.sub(f"generator{i}")
         f = jnp.concatenate([ctx_temp[i - 1], ctx_spat[i - 1]], axis=-1)
-        f = conv(g.sub("0"), f)
-        f = res_block(g.sub("1"), f, end_with_relu=True)
-        f = conv(g.sub("2"), f)
+        if packed_width() == 2 and i <= 2:
+            from .packed_blocks import p_res_block, packed_region, pconv
+
+            def stack(xp, g=g):
+                fp = pconv(g.sub("0"), xp)
+                fp = p_res_block(g.sub("1"), fp, end_with_relu=True)
+                return pconv(g.sub("2"), fp)
+
+            f = packed_region(f, stack)
+        else:
+            f = conv(g.sub("0"), f)
+            f = res_block(g.sub("1"), f, end_with_relu=True)
+            f = conv(g.sub("2"), f)
         wmap = jax.nn.softmax(f, axis=-1)
         maps_t.append(wmap[..., 0:1])
         maps_s.append(wmap[..., 1:2])
     return maps_t, maps_s
 
 
-def mv_resampler(p, mv_bl, shape_hr, s):
-    """BL motion -> EL grid, scaled by s (`lssvc_modules.py:339-365`)."""
-    f = conv_seq3(p.sub("conv1"), mv_bl)
-    f = bilinear_resize(f, shape_hr)
-    f = conv_seq3(p.sub("conv2"), f)
+def _resampler_tail(p, up):
+    """Full-res tail shared by the resamplers: conv_seq3 + two
+    DepthConvBlock refines + residual; width-packed in serving mode."""
+    if packed_width() == 2:
+        from ..ops.packed import pack_width
+        from .packed_blocks import p_conv_seq3, p_depth_conv_block
+
+        fp = p_conv_seq3(p.sub("conv2"), pack_width(up, 2))
+        rp = p_depth_conv_block(p.sub("feature_refine.0"), fp)
+        rp = p_depth_conv_block(p.sub("feature_refine.1"), rp)
+        return rp, fp  # packed (refine, f)
+    f = conv_seq3(p.sub("conv2"), up)
     refine = depth_conv_block(p.sub("feature_refine.0"), f)
     refine = depth_conv_block(p.sub("feature_refine.1"), refine)
+    return refine, f
+
+
+def mv_resampler(p, mv_bl, shape_hr, s):
+    """BL motion -> EL grid, scaled by s (`lssvc_modules.py:339-365`)."""
+    f0 = conv_seq3(p.sub("conv1"), mv_bl)
+    up = bilinear_resize(f0, shape_hr)
+    refine, f = _resampler_tail(p, up)
+    if packed_width() == 2:
+        from ..ops.packed import unpack_width
+        from .packed_blocks import pconv
+
+        return s * unpack_width(pconv(p.sub("recon_conv"), refine + f), 2)
     mv = conv(p.sub("recon_conv"), refine + f)
     return s * mv
 
@@ -147,10 +181,13 @@ def texture_resampler(p, texture_bl, shape_hr):
     f = conv(p.sub(key), texture_bl)
     f = conv_seq3(p.sub("conv1"), f)
     up = bilinear_resize(f, shape_hr)
-    up = conv_seq3(p.sub("conv2"), up)
-    refine = depth_conv_block(p.sub("feature_refine.0"), up)
-    refine = depth_conv_block(p.sub("feature_refine.1"), refine)
-    return refine + up
+    refine, up_f = _resampler_tail(p, up)
+    out = refine + up_f
+    if packed_width() == 2:
+        from ..ops.packed import unpack_width
+
+        return unpack_width(out, 2)
+    return out
 
 
 def layer_prior_resampler(p, y_hat_bl, shape_hr_16):
@@ -242,7 +279,17 @@ def el_res_decoder(p, y_hat, c2, c3):
 
 def el_recon_generation(p, ctx, res):
     """first_conv + 2 UNets + recon conv (`lssvc_modules.py:279-292`)."""
-    f = conv(p.sub("first_conv"), jnp.concatenate([ctx, res], axis=-1))
+    cat = jnp.concatenate([ctx, res], axis=-1)
+    if packed_width() == 2:
+        from ..ops.packed import unpack_width, pack_width
+        from .packed_blocks import pconv
+
+        f = unpack_width(pconv(p.sub("first_conv"), pack_width(cat, 2)), 2)
+        f = unet(p.sub("unet_1"), f)
+        f = unet(p.sub("unet_2"), f)
+        recon = unpack_width(pconv(p.sub("recon_conv"), pack_width(f, 2)), 2)
+        return f, recon
+    f = conv(p.sub("first_conv"), cat)
     f = unet(p.sub("unet_1"), f)
     f = unet(p.sub("unet_2"), f)
     recon = conv(p.sub("recon_conv"), f)

@@ -103,6 +103,24 @@ def _pref_out():
     return jnp.float32
 
 
+_PACKED_WIDTH = 1
+
+
+def set_packed_width(p: int):
+    """p=2 routes the hot full-res stride-1 conv stacks through the
+    width-packed domain (ops/packed.py: (N,H,W/2,2C) tensors, exact
+    block-structured kernels) — ~2x less HBM traffic for C=48/64 full-res
+    tensors.  p=1 (default) keeps the plain path; fp32 parity tests stay
+    on p=1 because the packed accumulation order differs in last bits."""
+    global _PACKED_WIDTH
+    assert p in (1, 2), p
+    _PACKED_WIDTH = int(p)
+
+
+def packed_width() -> int:
+    return _PACKED_WIDTH
+
+
 _CONV1X1_EINSUM = False
 
 
