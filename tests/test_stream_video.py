@@ -218,3 +218,66 @@ def test_pipelined_encode_matches_sequential(lssvc_model, tmp_path):
                                   np.asarray(dpb["ref_frame_el"]))
     np.testing.assert_array_equal(np.asarray(dpb_pip["ref_feature_bl"]),
                                   np.asarray(dpb["ref_feature_bl"]))
+
+
+def test_overlapped_decode_matches_serial(lssvc_model, tmp_path):
+    """decode_sequence (host rANS overlapped across layers/threads) must
+    reproduce the serial decompress chain's DPB bit-exactly — it runs the
+    SAME jitted stages in the same per-stream order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lssvc_tpu.models.pipeline import (
+        decode_frame_overlapped,
+        decode_sequence,
+    )
+    from lssvc_tpu.utils.stream import decode_p
+
+    rng = np.random.default_rng(11)
+    m = lssvc_model
+    m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    n_frames = 3
+    xs_bl = [nhwc_rand(rng, (1, 64, 64, 3)) for _ in range(n_frames)]
+    xs_el = [nhwc_rand(rng, (1, 128, 128, 3)) for _ in range(n_frames)]
+    dpb0 = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+        "ref_frame_el": nhwc_rand(rng, (1, 128, 128, 3)),
+        "ref_feature_el": nhwc_rand(rng, (1, 128, 128, 48)),
+    }
+
+    # encode a chain (sequential path); keep the serial decode DPBs
+    bl_paths, el_paths, serial_dpbs = [], [], []
+    dpb = dict(dpb0)
+    for t in range(n_frames):
+        pb = str(tmp_path / f"bl{t}.bin")
+        pe = str(tmp_path / f"el{t}.bin")
+        res = m.encode_decode_extend(
+            xs_bl[t], xs_el[t], dict(dpb), output_path_bl=pb,
+            output_path_el=pe, pic_width=128, pic_height=128,
+            pic_width_bl=64, pic_height_bl=64)
+        dpb = res["dpb"]
+        bl_paths.append(pb)
+        el_paths.append(pe)
+        serial_dpbs.append(dpb)
+
+    # overlapped decode, frame by frame, checking every DPB leaf
+    dpb = dict(dpb0)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for t in range(n_frames):
+            out = decode_frame_overlapped(
+                m, decode_p(bl_paths[t]), decode_p(el_paths[t]),
+                64, 64, 128, 128, dpb, pool)
+            dpb = out["dpb"]
+            for key in ("ref_frame_bl", "ref_feature_bl", "ref_frame_el",
+                        "ref_feature_el"):
+                np.testing.assert_array_equal(
+                    np.asarray(dpb[key]), np.asarray(serial_dpbs[t][key]),
+                    err_msg=f"frame {t} {key}")
+            assert out["context"] is not None
+
+    # the sequence driver wraps the same per-frame path
+    dpb_seq = decode_sequence(m, bl_paths, el_paths, dict(dpb0),
+                              64, 64, 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(dpb_seq["ref_frame_el"]),
+        np.asarray(serial_dpbs[-1]["ref_frame_el"]))
