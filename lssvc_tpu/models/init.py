@@ -1,10 +1,12 @@
 """From-scratch parameter initialization for every model family.
 
-Mirrors the reference constructors' shapes and init distributions
-(xavier-normal(sqrt 2) convs with 0.01 bias for the video nets,
-`dmc_net.py:292-297`; kaiming convs with zero bias for the intra nets,
-`priors.py:67-72`; GDN sqrt-reparameterized identity, Bitparm N(0, 0.01),
-Ballé bottleneck init) but produces our TPU layouts directly:
+Mirrors the reference constructors' shapes (and init distributions where
+they are trainable-from-scratch; both the video nets' xavier(sqrt 2)
+`dmc_net.py:292-297` and the intra nets' kaiming `priors.py:67-72` blow
+up untrained forwards, so all conv inits here are unit-gain xavier —
+documented divergence, ROADMAP.md; GDN sqrt-reparameterized identity,
+Bitparm N(0, 0.01), Ballé bottleneck init) but produces our TPU layouts
+directly:
 conv weights HWIO, transposed-conv weights already in conv-equivalent HWIO,
 per-channel broadcast params (1,1,1,C).
 
@@ -454,7 +456,12 @@ def init_lssvc(seed: int = 0) -> dict:
 # IntraNoAR — shapes per `priors.py:112-162`
 
 def init_intra_noar(N: int = 192, seed: int = 0, prefix: str = "") -> dict:
-    b = Builder(Rng(seed + 3), mode="kaiming")
+    # unit-gain xavier, NOT the reference's kaiming (`priors.py:67-72`):
+    # kaiming through g_a's residual accumulation yields |y| ~ 30-100 and
+    # the g_s IGDN chain then squares activations to ~1e18/inf at init —
+    # untrainable from scratch.  Same documented divergence as the video
+    # nets (ROADMAP.md); converted torch checkpoints overwrite init anyway.
+    b = Builder(Rng(seed + 3), mode="xavier")
     b.residual_block_with_stride("g_a.0", 3, N)
     b.residual_block("g_a.1", N, N)
     b.residual_block_with_stride("g_a.2", N, N)
@@ -491,7 +498,8 @@ def init_intra_noar(N: int = 192, seed: int = 0, prefix: str = "") -> dict:
 
 def init_intra_ss(channel_BL: int = 192, seed: int = 0) -> dict:
     cn, cm = 64, 96
-    b = Builder(Rng(seed + 4), mode="kaiming")
+    # unit-gain xavier (see init_intra_noar note)
+    b = Builder(Rng(seed + 4), mode="xavier")
 
     b.conv("texture_resampler.conv_adaptor.0", 3, 64, 3)
     b.conv("texture_resampler.conv_adaptor.2", 64, 64, 3)

@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..convert import P
+from ..entropy.models import entropy_bottleneck_aux_loss
+from ..models import intra_ss as intra_ss_model
 from ..models import lssvc as lssvc_model
 from .mesh import make_mesh, replicate, shard_batch
 
@@ -41,19 +44,107 @@ def rd_loss(params, batch, lmbda: float, shape_hr, scale_factor, pad_size):
     return loss, {"loss": loss, "bpp": bpp, "mse_el": mse_el, "mse_bl": mse_bl}
 
 
+def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
+                    pad_size):
+    """Cascaded multi-frame RD loss over a short DPB chain.
+
+    batch: dict with x_bl, x_el of shape (B, T, H, W, 3).  Frame 0 is the
+    (uncompressed) reference; frames 1..T-1 are coded sequentially, each
+    against the PREVIOUS frame's *reconstruction* — so gradients see error
+    accumulation through the decoded-picture-buffer chain (the property
+    that makes video-codec training converge; the torch reference trains
+    this way via its selective-freeze stages, `dmc_net.py:283-350`, though
+    it ships no loop).  T is static; the chain is unrolled under jit.
+    """
+    x_bl, x_el = batch["x_bl"], batch["x_el"]
+    b, t = x_el.shape[0], x_el.shape[1]
+    n_el = b * x_el.shape[2] * x_el.shape[3]
+    n_bl = b * x_bl.shape[2] * x_bl.shape[3]
+    dpb = {"ref_frame_bl": x_bl[:, 0], "ref_frame_el": x_el[:, 0],
+           "ref_feature_bl": None, "ref_feature_el": None}
+    total = jnp.zeros(())
+    bpp_acc = jnp.zeros(())
+    mse_el_acc = jnp.zeros(())
+    mse_bl_acc = jnp.zeros(())
+    for i in range(1, t):
+        out = lssvc_model.forward_one_frame(
+            params, x_bl[:, i], x_el[:, i], dpb["ref_frame_bl"],
+            dpb["ref_frame_el"], dpb["ref_feature_bl"],
+            dpb["ref_feature_el"], shape_hr, scale_factor, pad_size)
+        dpb = out["dpb"]
+        # clamp the fed-back frames like the eval harness does
+        dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+        dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+        mse_el = jnp.mean(jnp.square(out["dpb"]["ref_frame_el"] - x_el[:, i]))
+        mse_bl = jnp.mean(jnp.square(out["dpb"]["ref_frame_bl"] - x_bl[:, i]))
+        bpp = out["bit_el"] / n_el + out["bit_bl"] / n_bl
+        total = total + lmbda * (255.0 ** 2) * (mse_el + mse_bl) + bpp
+        bpp_acc += bpp
+        mse_el_acc += mse_el
+        mse_bl_acc += mse_bl
+    n = t - 1
+    loss = total / n
+    return loss, {"loss": loss, "bpp": bpp_acc / n,
+                  "mse_el": mse_el_acc / n, "mse_bl": mse_bl_acc / n}
+
+
+def rd_loss_intra(params, batch, lmbda: float, shape_hr, pad_size=(0, 0, 0, 0),
+                  aux_weight: float = 1.0):
+    """IntraSS two-layer RD loss + EntropyBottleneck quantile aux losses.
+
+    batch: dict with x_bl, x_el (NHWC).  The aux terms keep the learned
+    factorized-prior quantiles at the tail-mass boundaries so `update()`'s
+    CDF tables stay tight (`img_entropy_models.py:478-481`); the torch
+    reference optimizes them with a separate aux optimizer — here one
+    scalar objective suffices because the aux loss touches disjoint
+    parameters (the quantiles do not appear in the RD term).
+    """
+    out = intra_ss_model.forward(params, batch["x_bl"], batch["x_el"],
+                                 shape_hr, pad_size)
+    x_el, x_bl = batch["x_el"], batch["x_bl"]
+    n_el = x_el.shape[0] * x_el.shape[1] * x_el.shape[2]
+    n_bl = x_bl.shape[0] * x_bl.shape[1] * x_bl.shape[2]
+    mse_el = jnp.mean(jnp.square(out["x_hat_el"] - x_el))
+    mse_bl = jnp.mean(jnp.square(out["x_hat_bl"] - x_bl))
+    bpp = out["bit_el"] / n_el + out["bit_bl"] / n_bl
+    rd = lmbda * (255.0 ** 2) * (mse_el + mse_bl) + bpp
+    p = P(params)
+    aux = (entropy_bottleneck_aux_loss(p.sub("entropy_bottleneck"))
+           + entropy_bottleneck_aux_loss(
+               p.sub("base_layer_model.entropy_bottleneck")))
+    loss = rd + aux_weight * aux
+    return loss, {"loss": rd, "bpp": bpp, "mse_el": mse_el, "mse_bl": mse_bl,
+                  "aux": aux}
+
+
 def make_optimizer(learning_rate: float = 1e-4):
     return optax.adam(learning_rate)
 
 
+_LOSSES = {
+    "pair": rd_loss,
+    "cascade": rd_loss_cascade,
+}
+
+
 def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
-                    pad_size=(0, 0, 0, 0)):
+                    pad_size=(0, 0, 0, 0), loss: str = "pair"):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
-    metrics); jit-able and shardable."""
+    metrics); jit-able and shardable.  loss: 'pair' (single P-frame),
+    'cascade' (multi-frame DPB chain), or 'intra' (IntraSS + aux)."""
+    if loss == "intra":
+        def loss_fn(params, batch):
+            return rd_loss_intra(params, batch, lmbda, shape_hr, pad_size)
+    else:
+        base = _LOSSES[loss]
+
+        def loss_fn(params, batch):
+            return base(params, batch, lmbda, shape_hr, scale_factor,
+                        pad_size)
 
     def train_step(params, opt_state, batch):
-        grad_fn = jax.value_and_grad(rd_loss, has_aux=True)
-        (_, metrics), grads = grad_fn(params, batch, lmbda, shape_hr,
-                                      scale_factor, pad_size)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -62,15 +153,19 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
 
 
 def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
-                            scale_factor=2.0, pad_size=(0, 0, 0, 0)):
+                            scale_factor=2.0, pad_size=(0, 0, 0, 0),
+                            loss: str = "pair"):
     """Data-parallel train step: batch sharded on axis 0, params replicated.
     XLA lowers the parameter-gradient reduction to an all-reduce over the
     mesh's ICI links."""
-    step = make_train_step(optimizer, lmbda, shape_hr, scale_factor, pad_size)
+    step = make_train_step(optimizer, lmbda, shape_hr, scale_factor, pad_size,
+                           loss=loss)
     repl = replicate(mesh)
     data = shard_batch(mesh)
-    batch_sharding = {"x_bl": data, "x_el": data, "ref_bl": data,
-                      "ref_el": data}
+    keys = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
+            "cascade": ("x_bl", "x_el"),
+            "intra": ("x_bl", "x_el")}[loss]
+    batch_sharding = {k: data for k in keys}
     return jax.jit(
         step,
         in_shardings=(repl, repl, batch_sharding),

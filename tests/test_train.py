@@ -25,6 +25,56 @@ def _synthetic_batch(rng, n, crop):
             "ref_bl": jnp.asarray(down(ref), jnp.float32)}
 
 
+def test_cascade_loss_runs_and_is_finite():
+    """Cascaded DPB-chain loss: one step on a T=3 sequence, finite grads."""
+    import jax
+
+    crop = 128
+    rng = np.random.default_rng(0)
+    params = init_lssvc(0)
+    from lssvc_tpu.parallel.train import rd_loss_cascade
+
+    seq = np.clip(rng.random((1, 3, crop, crop, 3)), 0, 1).astype(np.float32)
+    down = lambda x: 0.25 * (x[:, :, 0::2, 0::2] + x[:, :, 1::2, 0::2]
+                             + x[:, :, 0::2, 1::2] + x[:, :, 1::2, 1::2])
+    batch = {"x_el": jnp.asarray(seq), "x_bl": jnp.asarray(down(seq))}
+
+    (loss, metrics), grads = jax.value_and_grad(
+        rd_loss_cascade, has_aux=True)(params, batch, 0.01, (crop, crop),
+                                       2.0, (0, 0, 0, 0))
+    assert np.isfinite(float(loss))
+    assert float(metrics["bpp"]) > 0
+    gnorm = float(optax.global_norm(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_intra_loss_step_decreases():
+    """IntraSS RD + aux loss decreases on a fixed batch."""
+    import jax
+
+    from lssvc_tpu.models.init import init_intra_ss
+    from lssvc_tpu.parallel.train import make_train_step
+
+    crop = 128
+    rng = np.random.default_rng(0)
+    params = init_intra_ss(seed=0)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(opt, lmbda=0.01, shape_hr=(crop, crop),
+                                   loss="intra"))
+    cur = np.clip(rng.random((1, crop, crop, 3)), 0, 1).astype(np.float32)
+    down = lambda x: 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2]
+                             + x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+    batch = {"x_el": jnp.asarray(cur), "x_bl": jnp.asarray(down(cur))}
+    losses = []
+    for _ in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(float(metrics["aux"]))
+
+
 @pytest.mark.slow
 def test_rd_loss_decreases_under_training():
     crop = 128

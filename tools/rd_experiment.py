@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""End-to-end RD experiment: train per-rate models, evaluate through the
+real-bitstream harness, and measure the bf16-vs-fp32 BD-rate delta.
+
+The reference ships NO checkpoints (nothing matching *.pth under
+/root/reference), so RD is demonstrated on synthetic video: train
+IntraSS + LSSVC at several lambdas, run `test.py`-equivalent evaluation
+(write_stream) on a held-out synthetic sequence in fp32 and bf16 serving
+modes, and report the RD table + the Bjontegaard delta between the two
+precision modes (the round-2 blocked item in ROADMAP.md).
+
+Usage:
+  python tools/rd_experiment.py --steps-intra 600 --steps-video 1200 \
+      --lambdas 0.003 0.01 0.03 0.09 --out runs/rd
+  python tools/rd_experiment.py --quick      # tiny smoke (CPU-able)
+  python tools/rd_experiment.py --eval-only  # reuse trained checkpoints
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="runs/rd")
+    p.add_argument("--lambdas", type=float, nargs="+",
+                   default=[0.003, 0.01, 0.03, 0.09])
+    p.add_argument("--steps-intra", type=int, default=600)
+    p.add_argument("--steps-video", type=int, default=1200)
+    p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--frames", type=int, default=12,
+                   help="held-out eval sequence length")
+    p.add_argument("--gop", type=int, default=6)
+    p.add_argument("--eval-size", type=int, default=256)
+    p.add_argument("--quick", action="store_true",
+                   help="2 lambdas, few steps — smoke run")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--modes", nargs="+", default=["fp32", "bf16"])
+    return p.parse_args()
+
+
+def make_eval_sequence(path, n_frames, size, seed=1234):
+    """Held-out synthetic YUV: smooth textures + global motion + a moving
+    square (gives the codec edges AND motion to earn bits on)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from train import SyntheticPairs
+
+    from lssvc_tpu.utils.color import rgb_to_ycbcr420
+    from lssvc_tpu.utils.io import YUVWriter
+
+    gen = SyntheticPairs(size, seed=seed)
+    seq = gen.next_sequences(1, n_frames)[0]  # (T, H, W, 3)
+    rng = np.random.default_rng(seed + 1)
+    sq = int(size * 0.15)
+    x0, y0 = rng.integers(0, size - sq - n_frames * 2, 2)
+    color = rng.random(3).astype(np.float32)
+    for t in range(n_frames):
+        seq[t, y0 + 2 * t:y0 + 2 * t + sq, x0 + 2 * t:x0 + 2 * t + sq] = color
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    w = YUVWriter(path, size, size)
+    for t in range(n_frames):
+        y, uv = rgb_to_ycbcr420(seq[t].transpose(2, 0, 1))
+        w.write_one_frame(y=y, uv=uv, src_format="420")
+    w.close()
+    return path
+
+
+def train_models(args, lmbda, out_dir):
+    """Train IntraSS then the staged LSSVC recipe for one rate point."""
+    import subprocess
+
+    tag = f"l{lmbda:g}".replace(".", "p")
+    intra_ckpt = os.path.join(out_dir, f"intra_{tag}_step{args.steps_intra}.npz")
+    video_final_steps = args.steps_video
+    video_ckpt = os.path.join(
+        out_dir, f"video_{tag}_cascade_step{video_final_steps}.npz")
+    py = sys.executable
+    train = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "train.py")
+
+    def run(cmd):
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, check=True)
+
+    if not os.path.exists(intra_ckpt):
+        run([py, train, "--loss", "intra", "--steps", str(args.steps_intra),
+             "--lmbda", str(lmbda), "--crop", str(args.crop),
+             "--batch-per-device", str(args.batch),
+             "--out", os.path.join(out_dir, f"intra_{tag}"),
+             "--save-every", str(args.steps_intra),
+             "--lr-decay-steps", str(args.steps_intra)])
+    if not os.path.exists(video_ckpt):
+        # stage 1: MV subnets (freeze everything else), short
+        s1 = max(args.steps_video // 4, 1)
+        run([py, train, "--stage", "mv", "--steps", str(s1),
+             "--lmbda", str(lmbda), "--crop", str(args.crop),
+             "--batch-per-device", str(args.batch),
+             "--out", os.path.join(out_dir, f"video_{tag}_mv"),
+             "--save-every", str(s1)])
+        # stage 2: full single-frame RD
+        s2 = max(args.steps_video // 2, 1)
+        run([py, train, "--stage", "full", "--steps", str(s2),
+             "--lmbda", str(lmbda), "--crop", str(args.crop),
+             "--batch-per-device", str(args.batch),
+             "--resume", os.path.join(out_dir, f"video_{tag}_mv_step{s1}.npz"),
+             "--out", os.path.join(out_dir, f"video_{tag}_full"),
+             "--save-every", str(s2), "--lr-decay-steps", str(s2)])
+        # stage 3: cascaded multi-frame fine-tune
+        run([py, train, "--stage", "cascade", "--frames", "3",
+             "--steps", str(video_final_steps),
+             "--lmbda", str(lmbda), "--crop", str(args.crop),
+             "--batch-per-device", str(args.batch),
+             "--resume", os.path.join(out_dir, f"video_{tag}_full_step{s2}.npz"),
+             "--out", os.path.join(out_dir, f"video_{tag}_cascade"),
+             "--save-every", str(video_final_steps),
+             "--lr-decay-steps", str(video_final_steps)])
+    return intra_ckpt, video_ckpt
+
+
+def evaluate(args, ckpts, yuv_dir, mode, out_dir):
+    """Run the evaluation harness (write_stream) for every rate point in
+    one precision mode; returns the FL RD points [(bpp, psnr), ...]."""
+    from lssvc_tpu.harness.results import filter_dict
+    from lssvc_tpu.ops import set_precision_mode
+    from lssvc_tpu.parallel import scheduler
+
+    set_precision_mode(mode)
+    scheduler._MODEL_CACHE.clear()
+    size = args.eval_size
+    points = []
+    logs = {"BL": {"SYN": {"eval": {}}}, "EL": {"SYN": {"eval": {}}},
+            "FL": {"SYN": {"eval": {}}}}
+    for i, (lmbda, (intra_ckpt, video_ckpt)) in enumerate(ckpts.items()):
+        task = {
+            "i_frame_model_path": intra_ckpt,
+            "video_model_path": video_ckpt,
+            "write_stream": True,
+            "dataset_path": yuv_dir,
+            "video_path": "eval",
+            "ds_name": "SYN",
+            "ratio": "x2",
+            "x1": {"width": size, "height": size},
+            "gop": args.gop,
+            "frame_num": args.frames,
+            "stream_path": os.path.join(out_dir, f"bins_{mode}_{i}"),
+            "model_idx": i,
+        }
+        res_bl, res_el, res_fl = scheduler.run_one(task)
+        ckpt_name = os.path.basename(video_ckpt)
+        for layer, res in (("BL", res_bl), ("EL", res_el), ("FL", res_fl)):
+            logs[layer]["SYN"]["eval"][ckpt_name] = filter_dict(res)
+        points.append((res_fl["ave_all_frame_bpp"],
+                       res_fl["ave_all_frame_rgb_psnr"]))
+        print(f"  {mode} lmbda={lmbda:g}: bpp={points[-1][0]:.4f} "
+              f"rgb-psnr={points[-1][1]:.2f}", flush=True)
+    # result JSONs in the reference {ratio}_{BL,EL,FL}.json nesting
+    json_dir = os.path.join(out_dir, f"json_{mode}")
+    os.makedirs(json_dir, exist_ok=True)
+    for layer, log in logs.items():
+        with open(os.path.join(json_dir, f"x2_{layer}.json"), "w") as f:
+            json.dump(log, f, indent=2)
+    return points
+
+
+def main():
+    args = parse_args()
+    if args.quick:
+        args.lambdas = [0.003, 0.03]
+        args.steps_intra = 30
+        args.steps_video = 40
+        args.frames = 4
+        args.gop = 2
+
+    out_dir = args.out
+    os.makedirs(out_dir, exist_ok=True)
+    yuv_dir = os.path.join(out_dir, "eval_ds")
+    make_eval_sequence(os.path.join(yuv_dir, "eval", "x1.yuv"),
+                       args.frames, args.eval_size)
+
+    ckpts = {}
+    for lmbda in args.lambdas:
+        if args.eval_only:
+            tag = f"l{lmbda:g}".replace(".", "p")
+            ckpts[lmbda] = (
+                os.path.join(out_dir,
+                             f"intra_{tag}_step{args.steps_intra}.npz"),
+                os.path.join(out_dir,
+                             f"video_{tag}_cascade_step{args.steps_video}.npz"))
+        else:
+            t0 = time.time()
+            ckpts[lmbda] = train_models(args, lmbda, out_dir)
+            print(f"trained lmbda={lmbda:g} in {time.time() - t0:.0f}s",
+                  flush=True)
+
+    curves = {}
+    for mode in args.modes:
+        print(f"=== evaluating mode {mode}", flush=True)
+        curves[mode] = evaluate(args, ckpts, yuv_dir, mode, out_dir)
+
+    report = {"lambdas": args.lambdas, "curves": curves}
+    if len(args.modes) == 2 and all(len(c) >= 4 for c in curves.values()):
+        from lssvc_tpu.harness.bd_rate import bd_rate
+
+        a, b = (curves[m] for m in args.modes)
+        delta = bd_rate([p[0] for p in a], [p[1] for p in a],
+                        [p[0] for p in b], [p[1] for p in b])
+        report["bd_rate_delta_pct"] = delta
+        print(f"BD-rate {args.modes[1]} vs {args.modes[0]}: {delta:+.3f}%")
+    with open(os.path.join(out_dir, "rd_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report -> {os.path.join(out_dir, 'rd_report.json')}")
+
+
+if __name__ == "__main__":
+    main()

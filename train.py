@@ -43,24 +43,63 @@ def parse_args():
                    choices=[None, "prediction", "other"],
                    help="freeze the motion-prediction subnets or everything "
                         "else (reference's selective-freeze training stages)")
+    p.add_argument("--loss", type=str, default="pair",
+                   choices=["pair", "cascade", "intra"],
+                   help="pair = single P-frame RD; cascade = multi-frame "
+                        "DPB-chain RD (error accumulation); intra = IntraSS "
+                        "two-layer RD + quantile aux loss")
+    p.add_argument("--frames", type=int, default=4,
+                   help="chain length T for --loss cascade (frame 0 is the "
+                        "uncompressed reference, T-1 frames are coded)")
+    p.add_argument("--stage", type=str, default=None,
+                   choices=[None, "mv", "full", "cascade"],
+                   help="reference-style staged recipe preset: mv = freeze "
+                        "non-motion ('other'), pair loss; full = pair loss, "
+                        "nothing frozen; cascade = multi-frame loss. "
+                        "Overrides --loss/--freeze.")
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="if >0, cosine-decay the LR to lr/100 over this "
+                        "many steps")
     return p.parse_args()
 
 
 class SyntheticPairs:
-    """Correlated frame pairs: translated noise textures (smoke training)."""
+    """Correlated frame pairs / sequences: translated smooth textures with
+    per-sequence constant velocity (smoke + convergence training)."""
 
     def __init__(self, crop, seed=0):
         self.crop = crop
         self.rng = np.random.default_rng(seed)
 
-    def next_batch(self, n):
+    def _smooth_texture(self, n, h, w):
+        """Low-frequency random texture (white noise is incompressible and
+        unwarpable — useless as a training signal)."""
+        small = self.rng.random((n, h // 8 + 2, w // 8 + 2, 3)).astype(np.float32)
+        try:  # bicubic-ish upsample via separable repeat + box blur
+            from scipy.ndimage import zoom
+
+            up = np.stack([zoom(s, (8, 8, 1), order=1)[:h, :w] for s in small])
+        except ImportError:
+            up = np.repeat(np.repeat(small, 8, 1), 8, 2)[:, :h, :w]
+        return np.clip(up, 0, 1)
+
+    def next_sequences(self, n, t, max_v=3):
+        """(n, t, crop, crop, 3) sequences, constant per-sequence motion."""
         c = self.crop
-        base = self.rng.random((n, c + 8, c + 8, 3)).astype(np.float32)
-        ref = base[:, 4:4 + c, 4:4 + c]
-        dx, dy = self.rng.integers(-3, 4, 2)
-        cur = base[:, 4 + dy:4 + dy + c, 4 + dx:4 + dx + c]
-        return ref, np.clip(cur + 0.01 * self.rng.standard_normal(cur.shape),
-                            0, 1).astype(np.float32)
+        m = max_v * (t - 1) + 1
+        base = self._smooth_texture(n, c + 2 * m, c + 2 * m)
+        out = np.empty((n, t, c, c, 3), dtype=np.float32)
+        for i in range(n):
+            vx, vy = self.rng.integers(-max_v, max_v + 1, 2)
+            for j in range(t):
+                y0, x0 = m + vy * j, m + vx * j
+                out[i, j] = base[i, y0:y0 + c, x0:x0 + c]
+        out += 0.01 * self.rng.standard_normal(out.shape).astype(np.float32)
+        return np.clip(out, 0, 1)
+
+    def next_batch(self, n):
+        seq = self.next_sequences(n, 2)
+        return seq[:, 0], seq[:, 1]
 
 
 class YUVPairs:
@@ -80,34 +119,39 @@ class YUVPairs:
         self.rng = np.random.default_rng(seed)
         self._reader_cls = YUVReader
 
-    def _read_frame_pair(self, path):
+    def _read_frames(self, path, t):
         from lssvc_tpu.utils.color import ycbcr420_to_rgb
 
         # frame count from file size (YUV420 8-bit)
         frame_bytes = self.width * self.height * 3 // 2
         n_frames = os.path.getsize(path) // frame_bytes
-        t = int(self.rng.integers(0, max(n_frames - 1, 1)))
-        r = self._reader_cls(path, self.width, self.height, skip_frame=t)
-        y0, uv0 = r.read_one_frame()
-        y1, uv1 = r.read_one_frame()
+        t0 = int(self.rng.integers(0, max(n_frames - t + 1, 1)))
+        r = self._reader_cls(path, self.width, self.height, skip_frame=t0)
+        frames = []
+        for _ in range(t):
+            y, uv = r.read_one_frame()
+            if y is None:
+                frames.append(frames[-1])
+            else:
+                frames.append(ycbcr420_to_rgb(y, uv).transpose(1, 2, 0))
         r.close()
-        if y1 is None:
-            y1, uv1 = y0, uv0
-        return (ycbcr420_to_rgb(y0, uv0).transpose(1, 2, 0),
-                ycbcr420_to_rgb(y1, uv1).transpose(1, 2, 0))
+        return frames
 
-    def next_batch(self, n):
+    def next_sequences(self, n, t):
         c = self.crop
-        refs, curs = [], []
+        out = []
         for _ in range(n):
             path = self.files[int(self.rng.integers(len(self.files)))]
-            f0, f1 = self._read_frame_pair(path)
-            h, w, _ = f0.shape
+            frames = self._read_frames(path, t)
+            h, w, _ = frames[0].shape
             y = int(self.rng.integers(0, max(h - c, 1)))
             x = int(self.rng.integers(0, max(w - c, 1)))
-            refs.append(f0[y:y + c, x:x + c])
-            curs.append(f1[y:y + c, x:x + c])
-        return np.stack(refs), np.stack(curs)
+            out.append(np.stack([f[y:y + c, x:x + c] for f in frames]))
+        return np.stack(out)
+
+    def next_batch(self, n):
+        seq = self.next_sequences(n, 2)
+        return seq[:, 0], seq[:, 1]
 
 
 def main():
@@ -118,10 +162,20 @@ def main():
     import optax
 
     from lssvc_tpu.checkpoint import load_params, save_params
-    from lssvc_tpu.models.init import init_lssvc
+    from lssvc_tpu.models.init import init_intra_ss, init_lssvc
     from lssvc_tpu.parallel.mesh import make_mesh
     from lssvc_tpu.parallel.train import make_sharded_train_step
     from lssvc_tpu.utils.resize import imresize
+
+    # reference-style staged recipe presets (`dmc_net.py:283-350`): MV
+    # stage first (motion subnets only), then full single-frame RD, then
+    # cascaded multi-frame fine-tuning
+    if args.stage == "mv":
+        args.loss, args.freeze = "pair", "other"
+    elif args.stage == "full":
+        args.loss, args.freeze = "pair", None
+    elif args.stage == "cascade":
+        args.loss, args.freeze = "cascade", None
 
     n_dev = len(jax.devices())
     batch = args.batch_per_device * n_dev
@@ -131,10 +185,17 @@ def main():
     if args.resume:
         params, _ = load_params(args.resume)
         print(f"resumed from {args.resume}")
+    elif args.loss == "intra":
+        params = init_intra_ss(seed=args.seed)
     else:
         params = init_lssvc(seed=args.seed)
 
-    optimizer = optax.adam(args.lr)
+    if args.lr_decay_steps > 0:
+        lr = optax.cosine_decay_schedule(args.lr, args.lr_decay_steps,
+                                         alpha=0.01)
+    else:
+        lr = args.lr
+    optimizer = optax.adam(lr)
     if args.freeze:
         # reference-style selective freeze (`dmc_net.py:283-290`): zero
         # updates for one partition
@@ -144,40 +205,58 @@ def main():
                   for k in params}
         optimizer = optax.multi_transform(
             {"prediction": (optax.set_to_zero()
-                            if args.freeze == "prediction" else optax.adam(args.lr)),
+                            if args.freeze == "prediction" else optax.adam(lr)),
              "other": (optax.set_to_zero()
-                       if args.freeze == "other" else optax.adam(args.lr))},
+                       if args.freeze == "other" else optax.adam(lr))},
             labels)
     opt_state = optimizer.init(params)
 
     mesh = make_mesh()
     step_fn = make_sharded_train_step(mesh, optimizer, args.lmbda,
-                                      shape_hr=(crop, crop))
+                                      shape_hr=(crop, crop), loss=args.loss)
 
     if args.data == "synthetic":
         data = SyntheticPairs(crop, args.seed)
     else:
         data = YUVPairs(args.data, args.width, args.height, crop, args.seed)
 
+    def downsample_bl(x_el_j):
+        """BL inputs: MATLAB-bicubic downsample (same as the eval
+        pipeline); handles (..., H, W, 3) by flattening leading dims."""
+        lead = x_el_j.shape[:-3]
+        flat = x_el_j.reshape((-1,) + x_el_j.shape[-3:])
+        bl = jnp.clip(imresize(jnp.transpose(flat, (0, 3, 1, 2)),
+                               scale=0.5), 0, 1).transpose(0, 2, 3, 1)
+        return bl.reshape(lead + bl.shape[1:])
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        ref_el, x_el = data.next_batch(batch)
-        x_el_j = jnp.asarray(x_el)
-        ref_el_j = jnp.asarray(ref_el)
-        # BL inputs: MATLAB-bicubic downsample (same as the eval pipeline)
-        x_bl = jnp.clip(imresize(jnp.transpose(x_el_j, (0, 3, 1, 2)),
-                                 scale=0.5), 0, 1).transpose(0, 2, 3, 1)
-        ref_bl = jnp.clip(imresize(jnp.transpose(ref_el_j, (0, 3, 1, 2)),
-                                   scale=0.5), 0, 1).transpose(0, 2, 3, 1)
-        batch_dict = {"x_bl": x_bl, "x_el": x_el_j,
-                      "ref_bl": ref_bl, "ref_el": ref_el_j}
+        if args.loss == "cascade":
+            seq = jnp.asarray(data.next_sequences(batch, args.frames))
+            batch_dict = {"x_bl": downsample_bl(seq), "x_el": seq}
+            frames_per_step = batch * (args.frames - 1)
+        elif args.loss == "intra":
+            _, x_el = data.next_batch(batch)
+            x_el_j = jnp.asarray(x_el)
+            batch_dict = {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j}
+            frames_per_step = batch
+        else:
+            ref_el, x_el = data.next_batch(batch)
+            x_el_j = jnp.asarray(x_el)
+            ref_el_j = jnp.asarray(ref_el)
+            batch_dict = {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j,
+                          "ref_bl": downsample_bl(ref_el_j),
+                          "ref_el": ref_el_j}
+            frames_per_step = batch
         params, opt_state, metrics = step_fn(params, opt_state, batch_dict)
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            rate = step * batch / (time.time() - t0)
+            rate = step * frames_per_step / (time.time() - t0)
+            aux = f" aux={m['aux']:.3f}" if "aux" in m else ""
             print(f"step {step}: loss={m['loss']:.4f} bpp={m['bpp']:.4f} "
-                  f"mse_el={m['mse_el']:.6f} ({rate:.2f} frames/s)")
+                  f"mse_el={m['mse_el']:.6f}{aux} ({rate:.2f} frames/s)",
+                  flush=True)
         if step % args.save_every == 0 or step == args.steps:
             path = f"{args.out}_step{step}.npz"
             save_params(path, params, metadata={"step": step})
