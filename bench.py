@@ -78,14 +78,16 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
 
     staged = "--staged" in sys.argv or batch > 1
     if staged:
-        # each frame is TWO programs (BL | EL); keep total outstanding
-        # executions within the device's 8-deep full-speed window
-        k = min(k, 3)
+        # each frame is FOUR programs (BL | EL-ctx | EL-res | EL-recon);
+        # keep total outstanding executions within the device's 8-deep
+        # full-speed window
+        k = min(k, 2)
     if staged:
-        # two-program frame (BL | EL): lower peak HBM; required for
-        # batch-of-sequences at 1080p (fused program OOMs at batch 2)
+        # four-program frame: peak HBM = max(stage peaks); required for
+        # batch-of-sequences at 1080p (fused program OOMs at batch 2,
+        # two-program split still 24.5G)
         def step(params, x_bl, x_el, dpb, bits_acc):
-            out = lssvc_model.forward_one_frame_staged(
+            out = lssvc_model.forward_one_frame_staged3(
                 params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
                 dpb["ref_feature_bl"], dpb["ref_feature_el"],
                 shape_hr, 2.0, (0, 0, 0, 0))
@@ -147,7 +149,9 @@ def main():
     import sys
     import traceback
 
-    mode = "bf16"
+    # default = the fastest validated serving config: bf16 operands/outputs
+    # + width-packed full-res conv stacks (A/B 2026-08: 1.435 vs 1.229 fps)
+    mode = "bf16_packed"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
     batch = 1

@@ -261,6 +261,94 @@ _fwd_jit = partial(jax.jit, static_argnums=(7, 8, 9))(forward_one_frame)
 _el_fwd_jit = partial(jax.jit, static_argnums=(7, 8))(el_forward)
 
 
+# --- fine-grained EL stages (batch-of-sequences HBM fit) --------------------
+
+def _el_stage_ctx(params, x_el, ref_el, feature_el, texture_bl, mv_bl_hat,
+                  shape_hr, scale_factor):
+    """EL motion coding + hybrid context fusion (the HBM-peak stage: warps,
+    OffsetDiversity, feature pyramids all live here)."""
+    p = P(params)
+    mc = el_motion_coding(p, x_el, ref_el, mv_bl_hat, shape_hr, scale_factor)
+    c1, c2, c3, warp_frame = hybrid_context_fusion(
+        p, texture_bl, mc["mv_hat"], ref_el, feature_el, shape_hr)
+    bits_mv_y, _ = laplace_bits(mc["mv_y_q"], mc["mv_scales_hat"])
+    bits_mv_z, _ = factorized_bits(p.sub("bit_estimator_z_mv"), mc["mv_z_hat"])
+    return (c1, c2, c3, warp_frame, mc["mv_hat"], bits_mv_y + bits_mv_z)
+
+
+def _el_stage_res(params, x_el, c1, c2, c3, y_bl_hat, shape_hr):
+    """Residual AE + priors + four-part prior -> y_hat and residual bits."""
+    p = P(params)
+    y = el_res_encoder(p.sub("res_encoder"), x_el, c1, c2, c3)
+    z = res_prior_encoder(p.sub("res_prior_encoder"), y)
+    z_hat = ste_round(z)
+    hierarchical = res_prior_decoder(p.sub("res_prior_decoder"), z_hat)
+    temporal = temporal_prior_encoder(p.sub("temporal_prior_encoder"), c3)
+    layer_prior = layer_prior_resampler(
+        p.sub("layer_prior_resampler"), y_bl_hat,
+        (shape_hr[0] // 16, shape_hr[1] // 16))
+    common_params = prior_fusion(p.sub("prior_fusion_net"), hierarchical,
+                                 temporal, layer_prior)
+    y_res, y_q, y_hat, scales_hat = forward_four_part_prior(p, y, common_params)
+    bits_y, _ = laplace_bits(y_q, scales_hat)
+    bits_z, _ = factorized_bits(p.sub("bit_estimator_z"), z_hat)
+    return y_hat, bits_y + bits_z
+
+
+def _el_stage_recon(params, y_hat, c1, c2, c3):
+    p = P(params)
+    recon_feature = el_res_decoder(p.sub("res_decoder"), y_hat, c2, c3)
+    feature, recon_el = el_recon_generation(p.sub("recon_generation_net"),
+                                            recon_feature, c1)
+    return recon_el, feature
+
+
+_el_stage_ctx_jit = partial(jax.jit, static_argnums=(6, 7))(_el_stage_ctx)
+_el_stage_res_jit = partial(jax.jit, static_argnums=(6,))(_el_stage_res)
+_el_stage_recon_jit = jax.jit(_el_stage_recon)
+
+
+def forward_one_frame_staged3(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
+                              ref_feature_bl, ref_feature_el, shape_hr,
+                              scale_factor, pad_size):
+    """Four-program two-layer P-frame: BL | EL-contexts | EL-res | EL-recon.
+
+    Peak HBM is max(stage peaks) instead of the fused program's global
+    peak — the fused 1080p frame needs ~12.8G and the two-program split
+    still ~24.5G at batch 2 because the EL stage owns nearly all of it;
+    splitting the EL at the context/res/recon boundaries admits
+    batch-of-sequences at 1080p on a 15.75G v5e chip.  Costs three extra
+    dispatches per frame."""
+    bl_params = {k[len("base_layer_model."):]: v for k, v in params.items()
+                 if k.startswith("base_layer_model.")}
+    bl = dmc._forward_inter_jit(bl_params, x_bl, ref_frame_bl, ref_feature_bl)
+
+    texture = pad_nhwc(bl["feature"], pad_size)
+    mv_bl_hat = pad_nhwc(bl["mv_hat"], pad_size)
+    y_bl_hat = pad_nhwc(bl["y_hat"], tuple(int(v / 16) for v in pad_size))
+
+    c1, c2, c3, warp_frame, mv_hat, bits_mv = _el_stage_ctx_jit(
+        params, x_el, ref_frame_el, ref_feature_el, texture, mv_bl_hat,
+        shape_hr, scale_factor)
+    y_hat, bits_res = _el_stage_res_jit(params, x_el, c1, c2, c3, y_bl_hat,
+                                        shape_hr)
+    recon_el, feature = _el_stage_recon_jit(params, y_hat, c1, c2, c3)
+
+    return {
+        "dpb": {
+            "ref_frame_bl": bl["recon_image"],
+            "ref_feature_bl": bl["feature"],
+            "ref_frame_el": recon_el,
+            "ref_feature_el": feature,
+        },
+        "bit_bl": bl["bits"],
+        "bit_el": bits_mv + bits_res,
+        "mv_hat": mv_hat,
+        "warp_frame": warp_frame,
+        "context": c1,
+    }
+
+
 def forward_one_frame_staged(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
                              ref_feature_bl, ref_feature_el, shape_hr,
                              scale_factor, pad_size):

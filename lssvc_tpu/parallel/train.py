@@ -132,14 +132,19 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
     metrics); jit-able and shardable.  loss: 'pair' (single P-frame),
     'cascade' (multi-frame DPB chain), or 'intra' (IntraSS + aux)."""
+    # lmbda is read from batch["lmbda"] when present (a traced scalar), so
+    # sweeps over rate points share ONE compiled executable instead of
+    # re-baking the constant into a fresh graph per lambda
     if loss == "intra":
         def loss_fn(params, batch):
-            return rd_loss_intra(params, batch, lmbda, shape_hr, pad_size)
+            lm = batch.get("lmbda", lmbda)
+            return rd_loss_intra(params, batch, lm, shape_hr, pad_size)
     else:
         base = _LOSSES[loss]
 
         def loss_fn(params, batch):
-            return base(params, batch, lmbda, shape_hr, scale_factor,
+            lm = batch.get("lmbda", lmbda)
+            return base(params, batch, lm, shape_hr, scale_factor,
                         pad_size)
 
     def train_step(params, opt_state, batch):
@@ -166,6 +171,7 @@ def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
             "cascade": ("x_bl", "x_el"),
             "intra": ("x_bl", "x_el")}[loss]
     batch_sharding = {k: data for k in keys}
+    batch_sharding["lmbda"] = repl  # scalar rate point, replicated
     return jax.jit(
         step,
         in_shardings=(repl, repl, batch_sharding),

@@ -121,3 +121,30 @@ def test_lssvc_first_p_frame(models):
     assert_close_mostly(
         np.asarray(o["dpb"]["ref_frame_el"]).transpose(0, 3, 1, 2),
         r["dpb"]["ref_frame_el"].numpy())
+
+def test_staged3_matches_fused(models):
+    """Four-program staged forward (BL | EL-ctx | EL-res | EL-recon, the
+    batch-of-sequences HBM-fit path) must track the fused program."""
+    from lssvc_tpu.models import lssvc as lssvc_mod
+
+    _, ours = models
+    rng = np.random.default_rng(23)
+
+    def arr(shape):
+        return jnp.asarray(rng.random(shape), dtype=jnp.float32)
+
+    args = (arr((1, 64, 64, 3)), arr((1, 128, 128, 3)),
+            arr((1, 64, 64, 3)), arr((1, 128, 128, 3)),
+            arr((1, 64, 64, 64)), arr((1, 128, 128, 48)))
+    fused = lssvc_mod.forward_one_frame(ours.params, *args, (128, 128), 2.0,
+                                        (0, 0, 0, 0))
+    staged = lssvc_mod.forward_one_frame_staged3(ours.params, *args,
+                                                 (128, 128), 2.0,
+                                                 (0, 0, 0, 0))
+    assert_rel_rms(np.asarray(staged["dpb"]["ref_frame_el"]),
+                   np.asarray(fused["dpb"]["ref_frame_el"]))
+    assert_rel_rms(np.asarray(staged["dpb"]["ref_frame_bl"]),
+                   np.asarray(fused["dpb"]["ref_frame_bl"]))
+    for k in ("bit_bl", "bit_el"):
+        a, b = float(staged[k]), float(fused[k])
+        assert abs(a - b) / max(abs(b), 1.0) < 3e-3, (k, a, b)

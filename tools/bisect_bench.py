@@ -157,7 +157,13 @@ def run(variant):
     from lssvc_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     from lssvc_tpu.ops import set_precision_mode
-    set_precision_mode(MODE)
+    if MODE == "bf16_packed":
+        from lssvc_tpu.ops.nn import set_packed_width
+
+        set_precision_mode("bf16")
+        set_packed_width(2)
+    else:
+        set_precision_mode(MODE)
     patch(variant)
     from lssvc_tpu.models import lssvc as lssvc_model
     from lssvc_tpu.models.init import init_lssvc

@@ -249,6 +249,8 @@ def main():
                           "ref_bl": downsample_bl(ref_el_j),
                           "ref_el": ref_el_j}
             frames_per_step = batch
+        # traced scalar: lambda sweeps share one compiled executable
+        batch_dict["lmbda"] = jnp.float32(args.lmbda)
         params, opt_state, metrics = step_fn(params, opt_state, batch_dict)
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
