@@ -178,6 +178,8 @@ def main():
         args.steps_video = 40
         args.frames = 4
         args.gop = 2
+        args.crop = 128
+        args.eval_size = 128
 
     out_dir = args.out
     os.makedirs(out_dir, exist_ok=True)
