@@ -26,6 +26,7 @@ Layout: planar (C, H, W) inside the kernel (W in lanes); NHWC at the API.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,10 @@ _SMALL_D_V = 3
 
 TILE_C = 128
 _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
+
+# A/B switch for the tiny-tier kernel: LSSVC_WARP_ROLL=1 selects the
+# roll-tap variant (lane rotations instead of dynamic lane gathers)
+_USE_ROLL = os.environ.get("LSSVC_WARP_ROLL", "0") == "1"
 
 
 def _pad_to(v, m):
@@ -307,6 +312,69 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
     jax.lax.fori_loop(0, tr, row_body, 0)
 
 
+def _warp_kernel_cblock_roll(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
+                             *, b, d_v, d_h, h, w, n_chan, tr):
+    """cblock variant with ROLL-based horizontal taps: instead of two
+    dynamic lane gathers per (tap row, column chunk), accumulate 2b+3
+    lane-rotations of the full window row, each weighted by a
+    per-relative-offset mask.  Lane rotates are single crossbar ops where
+    take_along_axis lowers to a general permute sequence; trades 24
+    gathers for 42 roll+fma per (row, channel block) at b=2."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    n_cb = n_chan // _VREG_R
+    one = jnp.float32(1.0)
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[pl.ds(ti * tr, win_r), :, pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+
+    lx0, ly0, wx, wy = _sample_coords(fx_ref[:], fy_ref[:], ti, tj, tr,
+                                      h, w, d_v, d_h, win_r, win_c)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 1)
+    ry0 = ly0 - row_i
+    rx0 = lx0 - (d_h + 1) - lane  # in [-(b+1), b+1] for in-image pixels
+
+    copy.wait()
+
+    rxs = list(range(-(b + 1), b + 2))
+    rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
+
+    def row_body(i, _):
+        def brow(t):
+            idx = jnp.full((_VREG_R, TILE_C), i, jnp.int32)
+            return jnp.take_along_axis(t, idx, axis=0)
+
+        ry_i = brow(ry0.astype(jnp.float32))
+        wy_i = brow(wy)
+        rx_i = brow(rx0.astype(jnp.float32))
+        wx_i = brow(wx)
+        # per-relative-column weights, shared across tap rows and channels
+        whx = [(rx_i == rx).astype(jnp.float32) * (one - wx_i)
+               + (rx_i == rx - 1).astype(jnp.float32) * wx_i for rx in rxs]
+        vws = [((ry_i == rp).astype(jnp.float32) * (one - wy_i)
+                + (ry_i + 1 == rp).astype(jnp.float32) * wy_i)
+               for rp in range(rp_lo, rp_hi)]
+        for cb in range(n_cb):
+            acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+            for rj, rp in enumerate(range(rp_lo, rp_hi)):
+                v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R, :]
+                for rk, rx in enumerate(rxs):
+                    # left-rotate by (d_h+1+rx) = right-rotate by the
+                    # complement (pltpu.roll requires shift >= 0)
+                    u = pltpu.roll(v, win_c - (d_h + 1 + rx),
+                                   axis=1)[:, :TILE_C]
+                    acc = acc + u * (whx[rk] * vws[rj])
+            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, tr, row_body, 0)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                              d_v=_SMALL_D_V, d_h=63):
@@ -342,8 +410,9 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                               (d_h + 1, d_h + 1 + TILE_C)))
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
+    kernel = _warp_kernel_cblock_roll if _USE_ROLL else _warp_kernel_cblock
     out = pl.pallas_call(
-        functools.partial(_warp_kernel_cblock, b=b, d_v=d_v, d_h=d_h,
+        functools.partial(kernel, b=b, d_v=d_v, d_h=d_h,
                           h=h, w=w, n_chan=c, tr=tr),
         out_shape=jax.ShapeDtypeStruct((hp, c, wp), jnp.float32),
         grid=grid,
@@ -853,6 +922,19 @@ def _grouped_warp_pallas(x, flow_x, flow_y, mask, d_v, d_h, group_num):
     return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
 
 
+_DIFFERENTIABLE = False
+
+
+def set_warp_differentiable(on: bool):
+    """Route the auto warp wrappers through the pure-XLA formulations
+    (trace-time flag).  The pallas kernels have no JVP/VJP rules, so any
+    graph that will be differentiated — the training steps — must take
+    the XLA path even on TPU.  Training crops are small (128-256 px), so
+    the XLA gather cost is acceptable there; inference keeps the kernels."""
+    global _DIFFERENTIABLE
+    _DIFFERENTIABLE = bool(on)
+
+
 def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
     """Bilinear backward warp, three-tier runtime dispatch:
 
@@ -869,7 +951,7 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
     with minutes-long CPU compiles per shape — so the XLA path is used
     directly; dedicated kernel tests (tests/test_warp_pallas.py) exercise the
     pallas path in interpret mode at small shapes."""
-    if jax.default_backend() != "tpu":
+    if _DIFFERENTIABLE or jax.default_backend() != "tpu":
         return _flow_warp_xla(x, flow)
     # kernels are written for f32 blocks; bf16-mode conv outputs upcast here
     # (the consumer conv casts back to bf16 — negligible traffic at the
@@ -933,7 +1015,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         x_, fx_, fy_, m_ = operands
         return grouped_warp_lowmem(x_, fx_, fy_, m_, group_num)
 
-    if jax.default_backend() != "tpu":
+    if _DIFFERENTIABLE or jax.default_backend() != "tpu":
         return _slow_eager((x, flow_x, flow_y, mask))
 
     fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))

@@ -147,14 +147,27 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
             return base(params, batch, lm, shape_hr, scale_factor,
                         pad_size)
 
+    # the pallas warp kernels have no VJP rules; trace the training graph
+    # through the differentiable XLA warp formulations
+    from ..ops.warp_pallas import set_warp_differentiable
+
     def train_step(params, opt_state, batch):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(params, batch)
+        set_warp_differentiable(True)
+        try:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(params, batch)
+        finally:
+            set_warp_differentiable(False)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     return train_step
+
+
+_BATCH_KEYS = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
+               "cascade": ("x_bl", "x_el"),
+               "intra": ("x_bl", "x_el")}
 
 
 def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
@@ -167,13 +180,58 @@ def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
                            loss=loss)
     repl = replicate(mesh)
     data = shard_batch(mesh)
-    keys = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
-            "cascade": ("x_bl", "x_el"),
-            "intra": ("x_bl", "x_el")}[loss]
-    batch_sharding = {k: data for k in keys}
+    batch_sharding = {k: data for k in _BATCH_KEYS[loss]}
     batch_sharding["lmbda"] = repl  # scalar rate point, replicated
     return jax.jit(
         step,
         in_shardings=(repl, repl, batch_sharding),
         out_shardings=(repl, repl, repl),
+    )
+
+
+def make_sharded_train_scan(mesh, optimizer, lmbda: float, shape_hr,
+                            scale_factor=2.0, pad_size=(0, 0, 0, 0),
+                            loss: str = "pair"):
+    """K chained optimizer steps per device program via lax.scan.
+
+    The single-step path pays one host->device dispatch round trip per
+    optimizer step; through the remote-device tunnel that latency dwarfs
+    the device compute at training crop sizes.  Here the host uploads a
+    (K, B, ...) stack of batches once and the device runs K full
+    grad+update steps with no host involvement.  K is dynamic (scan
+    length is inferred from the stacked leading dim), so warmup chains
+    and tail chains reuse the same executable only when K matches —
+    callers should keep K fixed.
+
+    Returns scan_fn(params, opt_state, batches, lmbda) ->
+    (params, opt_state, metrics) where batches values are stacked
+    (K, B, ...) and metrics values are stacked (K,).  params/opt_state
+    buffers are donated.
+    """
+    step = make_train_step(optimizer, lmbda, shape_hr, scale_factor, pad_size,
+                           loss=loss)
+    repl = replicate(mesh)
+    # scan axis leads; the batch axis (now axis 1) carries the data sharding
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    data = NamedSharding(mesh, PS(None, "data"))
+
+    def scan_fn(params, opt_state, batches, lmbda_s):
+        def body(carry, b):
+            p, o = carry
+            b = dict(b)
+            b["lmbda"] = lmbda_s
+            p, o, m = step(p, o, b)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), batches)
+        return params, opt_state, ms
+
+    batch_sharding = {k: data for k in _BATCH_KEYS[loss]}
+    return jax.jit(
+        scan_fn,
+        in_shardings=(repl, repl, batch_sharding, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
     )

@@ -300,3 +300,21 @@ def test_cblock_kernel_large_window():
     out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], d_v, d_v,
                                    D_H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_roll_kernel_exact(monkeypatch):
+    """The LSSVC_WARP_ROLL=1 tiny-tier variant (lane rotations instead of
+    dynamic lane gathers) must match the gather formulation exactly.  Uses
+    a shape no other test traces so the monkeypatched flag is seen at
+    trace time (the kernel choice is bound when jit traces the call)."""
+    import lssvc_tpu.ops.warp_pallas as wp
+
+    monkeypatch.setattr(wp, "_USE_ROLL", True)
+    rng = np.random.default_rng(81)
+    x = _rand((1, 18, 140, 8), 82)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 18, 140, 2))
+                       .astype(np.float32))
+    ref = flow_warp(x, flow)
+    out = wp._flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                      D_H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

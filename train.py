@@ -60,6 +60,11 @@ def parse_args():
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="if >0, cosine-decay the LR to lr/100 over this "
                         "many steps")
+    p.add_argument("--scan-steps", type=int, default=8,
+                   help="optimizer steps chained per device program via "
+                        "lax.scan (amortizes host->device dispatch latency, "
+                        "which dominates at training crop sizes through the "
+                        "remote-device tunnel); 1 = one dispatch per step")
     return p.parse_args()
 
 
@@ -164,7 +169,8 @@ def main():
     from lssvc_tpu.checkpoint import load_params, save_params
     from lssvc_tpu.models.init import init_intra_ss, init_lssvc
     from lssvc_tpu.parallel.mesh import make_mesh
-    from lssvc_tpu.parallel.train import make_sharded_train_step
+    from lssvc_tpu.parallel.train import (make_sharded_train_scan,
+                                          make_sharded_train_step)
     from lssvc_tpu.utils.resize import imresize
 
     # reference-style staged recipe presets (`dmc_net.py:283-350`): MV
@@ -212,8 +218,15 @@ def main():
     opt_state = optimizer.init(params)
 
     mesh = make_mesh()
-    step_fn = make_sharded_train_step(mesh, optimizer, args.lmbda,
-                                      shape_hr=(crop, crop), loss=args.loss)
+    scan_k = max(args.scan_steps, 1)
+    if scan_k > 1:
+        scan_fn = make_sharded_train_scan(mesh, optimizer, args.lmbda,
+                                          shape_hr=(crop, crop),
+                                          loss=args.loss)
+    else:
+        step_fn = make_sharded_train_step(mesh, optimizer, args.lmbda,
+                                          shape_hr=(crop, crop),
+                                          loss=args.loss)
 
     if args.data == "synthetic":
         data = SyntheticPairs(crop, args.seed)
@@ -229,40 +242,74 @@ def main():
                                scale=0.5), 0, 1).transpose(0, 2, 3, 1)
         return bl.reshape(lead + bl.shape[1:])
 
+    def host_batch(nb):
+        """Build one batch of nb items on the device (no lmbda key).
+        Returns (batch_dict, frames_per_item)."""
+        if args.loss == "cascade":
+            seq = jnp.asarray(data.next_sequences(nb, args.frames))
+            return {"x_bl": downsample_bl(seq), "x_el": seq}, args.frames - 1
+        if args.loss == "intra":
+            _, x_el = data.next_batch(nb)
+            x_el_j = jnp.asarray(x_el)
+            return {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j}, 1
+        ref_el, x_el = data.next_batch(nb)
+        x_el_j = jnp.asarray(x_el)
+        ref_el_j = jnp.asarray(ref_el)
+        return {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j,
+                "ref_bl": downsample_bl(ref_el_j),
+                "ref_el": ref_el_j}, 1
+
+    last = {"step": 0, "t": time.time()}
+
+    def log(step, metrics, fpi):
+        m = {k: float(v) for k, v in metrics.items()}
+        now = time.time()
+        # incremental rate since the previous log line (the cumulative rate
+        # is dominated by compile time for most short runs)
+        rate = (step - last["step"]) * batch * fpi / (now - last["t"])
+        last["step"], last["t"] = step, now
+        aux = f" aux={m['aux']:.3f}" if "aux" in m else ""
+        print(f"step {step}: loss={m['loss']:.4f} bpp={m['bpp']:.4f} "
+              f"mse_el={m['mse_el']:.6f}{aux} ({rate:.2f} frames/s)",
+              flush=True)
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        if args.loss == "cascade":
-            seq = jnp.asarray(data.next_sequences(batch, args.frames))
-            batch_dict = {"x_bl": downsample_bl(seq), "x_el": seq}
-            frames_per_step = batch * (args.frames - 1)
-        elif args.loss == "intra":
-            _, x_el = data.next_batch(batch)
-            x_el_j = jnp.asarray(x_el)
-            batch_dict = {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j}
-            frames_per_step = batch
-        else:
-            ref_el, x_el = data.next_batch(batch)
-            x_el_j = jnp.asarray(x_el)
-            ref_el_j = jnp.asarray(ref_el)
-            batch_dict = {"x_bl": downsample_bl(x_el_j), "x_el": x_el_j,
-                          "ref_bl": downsample_bl(ref_el_j),
-                          "ref_el": ref_el_j}
-            frames_per_step = batch
-        # traced scalar: lambda sweeps share one compiled executable
-        batch_dict["lmbda"] = jnp.float32(args.lmbda)
-        params, opt_state, metrics = step_fn(params, opt_state, batch_dict)
-        if step % args.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            rate = step * frames_per_step / (time.time() - t0)
-            aux = f" aux={m['aux']:.3f}" if "aux" in m else ""
-            print(f"step {step}: loss={m['loss']:.4f} bpp={m['bpp']:.4f} "
-                  f"mse_el={m['mse_el']:.6f}{aux} ({rate:.2f} frames/s)",
-                  flush=True)
-        if step % args.save_every == 0 or step == args.steps:
-            path = f"{args.out}_step{step}.npz"
-            save_params(path, params, metadata={"step": step})
-            print(f"saved {path}")
+    lm = jnp.float32(args.lmbda)
+    if scan_k > 1:
+        # chained path: one device program per scan_k optimizer steps.
+        # Batches for all scan_k steps are drawn in ONE generator call
+        # (leading dim scan_k*batch) and reshaped to (scan_k, batch, ...),
+        # so the host cost is amortized too.
+        step = 0
+        while step < args.steps:
+            bd, fpi = host_batch(scan_k * batch)
+            bd = {k: v.reshape((scan_k, batch) + v.shape[1:])
+                  for k, v in bd.items()}
+            params, opt_state, ms = scan_fn(params, opt_state, bd, lm)
+            step += scan_k
+            # the chunk may overshoot --steps; label the final checkpoint
+            # with the requested step count so downstream paths match
+            label = min(step, args.steps)
+            if step % args.log_every < scan_k:
+                log(step, {k: v[-1] for k, v in ms.items()}, fpi)
+            if step % args.save_every < scan_k or step >= args.steps:
+                path = f"{args.out}_step{label}.npz"
+                save_params(path, params, metadata={"step": label})
+                print(f"saved {path}")
+    else:
+        for step in range(1, args.steps + 1):
+            batch_dict, fpi = host_batch(batch)
+            # traced scalar: lambda sweeps share one compiled executable
+            batch_dict["lmbda"] = lm
+            params, opt_state, metrics = step_fn(params, opt_state,
+                                                 batch_dict)
+            if step % args.log_every == 0:
+                log(step, metrics, fpi)
+            if step % args.save_every == 0 or step == args.steps:
+                path = f"{args.out}_step{step}.npz"
+                save_params(path, params, metadata={"step": step})
+                print(f"saved {path}")
 
 
 if __name__ == "__main__":
