@@ -52,9 +52,14 @@ _SMALL_D_V = 3
 TILE_C = 128
 _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
 
-# A/B switch for the tiny-tier kernel: LSSVC_WARP_ROLL=1 selects the
-# roll-tap variant (lane rotations instead of dynamic lane gathers)
+# A/B switches for the tiny-tier kernel: LSSVC_WARP_ROLL=1 selects the
+# roll-tap variant (lane rotations instead of dynamic lane gathers);
+# LSSVC_WARP_WIDE=1 selects the wide cross-vreg gather variant — which
+# DOES NOT COMPILE on real TPUs: Mosaic's gather lowering asserts
+# same-shape indices (one vreg), so a (8, 256) row cannot be gathered
+# with (8, 128) indices.  Kept for the record; interpret mode only.
 _USE_ROLL = os.environ.get("LSSVC_WARP_ROLL", "0") == "1"
+_USE_WIDE = os.environ.get("LSSVC_WARP_WIDE", "0") == "1"
 
 
 def _pad_to(v, m):
@@ -312,6 +317,74 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
     jax.lax.fori_loop(0, tr, row_body, 0)
 
 
+def _warp_kernel_cblock_wide(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
+                             *, b, d_v, d_h, h, w, n_chan, tr):
+    """cblock variant with WIDE horizontal gathers: one take_along_axis
+    over the full (8ch, win_c) window row per tap instead of a loop over
+    128-lane chunks with hit masks — n_cu x fewer dynamic gathers and no
+    per-chunk weight masking.  Indices are absolute window columns
+    (in-range by construction: _sample_coords clips to [0, win_c-2]).
+
+    NEGATIVE RESULT (2026-08): Mosaic cannot lower this — its gather rule
+    asserts indices.shape == operand.shape (single-vreg lane gathers
+    only), so cross-vreg addressing must be decomposed into per-chunk
+    gathers + masks, which is exactly what `_warp_kernel_cblock` does.
+    The chunked kernel is therefore already at the Mosaic-expressible
+    minimum of 4 gathers per (tap row, out vreg).  Works in interpret
+    mode only; kept as documentation."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    win_r = tr + 2 * d_v + 2
+    win_c = TILE_C + 2 * d_h + 2
+    n_cb = n_chan // _VREG_R
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[pl.ds(ti * tr, win_r), :, pl.ds(tj * TILE_C, win_c)],
+        win_ref, sem)
+    copy.start()
+
+    lx0, ly0, wx, wy = _sample_coords(fx_ref[:], fy_ref[:], ti, tj, tr,
+                                      h, w, d_v, d_h, win_r, win_c)
+    one = jnp.float32(1.0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tr, TILE_C), 0)
+    ry0 = ly0 - row_i  # window row offset of the floor tap
+
+    copy.wait()
+
+    def row_body(i, _):
+        def brow(t):
+            idx = jnp.full((_VREG_R, TILE_C), i, jnp.int32)
+            return jnp.take_along_axis(t, idx, axis=0)
+
+        ry_i = brow(ry0.astype(jnp.float32))
+        wy_i = brow(wy)
+        i0_i = brow(lx0.astype(jnp.float32)).astype(jnp.int32)
+        i1_i = brow(jnp.minimum(lx0 + 1, win_c - 1).astype(jnp.float32)
+                    ).astype(jnp.int32)
+        w0_i = brow(one - wx)
+        w1_i = brow(wx)
+        for cb in range(n_cb):
+            def tap(rp, acc):
+                vw = ((ry_i == rp).astype(jnp.float32) * (one - wy_i)
+                      + (ry_i + 1 == rp).astype(jnp.float32) * wy_i)
+                v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R, :]
+                g0 = jnp.take_along_axis(v, i0_i, axis=1)
+                g1 = jnp.take_along_axis(v, i1_i, axis=1)
+                return acc + (g0 * w0_i + g1 * w1_i) * vw
+
+            rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
+            acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+            if rp_hi - rp_lo <= 12:
+                for rp in range(rp_lo, rp_hi):
+                    acc = tap(rp, acc)
+            else:
+                acc = jax.lax.fori_loop(rp_lo, rp_hi, tap, acc)
+            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, tr, row_body, 0)
+
+
 def _warp_kernel_cblock_roll(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                              *, b, d_v, d_h, h, w, n_chan, tr):
     """cblock variant with ROLL-based horizontal taps: instead of two
@@ -410,7 +483,9 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                               (d_h + 1, d_h + 1 + TILE_C)))
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
-    kernel = _warp_kernel_cblock_roll if _USE_ROLL else _warp_kernel_cblock
+    kernel = (_warp_kernel_cblock_roll if _USE_ROLL
+              else _warp_kernel_cblock_wide if _USE_WIDE
+              else _warp_kernel_cblock)
     out = pl.pallas_call(
         functools.partial(kernel, b=b, d_v=d_v, d_h=d_h,
                           h=h, w=w, n_chan=c, tr=tr),

@@ -68,6 +68,7 @@ def test_lssvc_forward_parity(models):
         r["mv_hat"].numpy())
 
 
+@pytest.mark.slow
 def test_lssvc_staged_forward_matches_fused(models):
     """forward_one_frame_staged (two XLA programs, low-peak-HBM serving
     path for batch-of-sequences) must track the fused program; exact
@@ -122,6 +123,7 @@ def test_lssvc_first_p_frame(models):
         np.asarray(o["dpb"]["ref_frame_el"]).transpose(0, 3, 1, 2),
         r["dpb"]["ref_frame_el"].numpy())
 
+@pytest.mark.slow
 def test_staged3_matches_fused(models):
     """Four-program staged forward (BL | EL-ctx | EL-res | EL-recon, the
     batch-of-sequences HBM-fit path) must track the fused program."""

@@ -92,6 +92,7 @@ def test_packed_conv_chain_jit(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_full_el_forward_close(rng):
     """Full LSSVC P-frame forward with packed_width=2 matches the plain
     path (same math, different accumulation grouping -> tiny fp32 drift)."""

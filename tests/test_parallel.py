@@ -1,3 +1,4 @@
+import pytest
 """Mesh/sharding unit tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
@@ -47,6 +48,7 @@ def test_data_parallel_grad_matches_single_device():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_serving_matches_sequential():
     """8 concurrent streams on the CPU mesh == 8 independent single-stream
     forwards: recon frames identical, per-stream bits identical."""

@@ -26,6 +26,7 @@ def nets():
     return i_net, v_net
 
 
+@pytest.mark.slow
 def test_encode_gop_matches_sequential_loop(nets, tmp_path):
     from lssvc_tpu.harness.serving import encode_gop
 

@@ -167,6 +167,7 @@ def test_closed_loop_encoder_dpb_bit_exact(lssvc_model, dmc_model, tmp_path):
                                       np.asarray(dec_el["dpb"][k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_pipelined_encode_matches_sequential(lssvc_model, tmp_path):
     """encode_sequence (host rANS overlapped, decoder-DPB reproduced on
     device) must produce byte-identical streams to the sequential
@@ -220,6 +221,7 @@ def test_pipelined_encode_matches_sequential(lssvc_model, tmp_path):
                                   np.asarray(dpb["ref_feature_bl"]))
 
 
+@pytest.mark.slow
 def test_overlapped_decode_matches_serial(lssvc_model, tmp_path):
     """decode_sequence (host rANS overlapped across layers/threads) must
     reproduce the serial decompress chain's DPB bit-exactly — it runs the

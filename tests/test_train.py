@@ -25,6 +25,7 @@ def _synthetic_batch(rng, n, crop):
             "ref_bl": jnp.asarray(down(ref), jnp.float32)}
 
 
+@pytest.mark.slow
 def test_cascade_loss_runs_and_is_finite():
     """Cascaded DPB-chain loss: one step on a T=3 sequence, finite grads."""
     import jax
@@ -48,6 +49,7 @@ def test_cascade_loss_runs_and_is_finite():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_intra_loss_step_decreases():
     """IntraSS RD + aux loss decreases on a fixed batch."""
     import jax
@@ -99,6 +101,7 @@ def test_rd_loss_decreases_under_training():
     assert float(metrics["bpp"]) > 0
 
 
+@pytest.mark.slow
 def test_scan_chain_matches_sequential_steps():
     """K scan-chained optimizer steps must match K sequential dispatches
     (the chained path exists to amortize dispatch latency, not to change
