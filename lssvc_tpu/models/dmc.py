@@ -22,6 +22,7 @@ from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
 from ..ops import leaky_relu, ste_round
 from ..ops.warp_pallas import flow_warp_auto as flow_warp
+from ..ops.warp_pallas import flow_warp_pair
 from .base import Model
 from .components import (
     conv,
@@ -87,16 +88,24 @@ def entropy_parameters(p, x):
 
 def motion_compensation(p, ref, feature, mv):
     """Warp multi-scale reference features and fuse (`dmc_net.py:352-368`)."""
-    warpframe = flow_warp(ref, mv)
     mv1, mv2, mv3 = scaled_flows(mv)
     if feature is None:
         f = conv(p.sub("feature_adaptor_I"), ref)
     else:
         f = conv(p.sub("feature_adaptor_P"), feature)
     f1, f2, f3 = feature_extractor_3scale(p.sub("feature_extractor"), f)
-    c1 = flow_warp(f1, mv1)
-    c2 = flow_warp(f2, mv2)
-    c3 = flow_warp(f3, mv3)
+    # one max-reduction serves every warp of this motion field (scaled
+    # flows are bounded by fmax * {1, 1/2, 1/4}); ref & f1 share mv, so
+    # they warp in one kernel dispatch (exact: warping is per-channel).
+    # The reference frame joins f1's compute dtype so a bf16 f1 keeps the
+    # pair on the warp kernels' bf16 boundary path (f32 in parity mode).
+    from ..ops.nn import compute_dtype
+
+    fmax = jnp.max(jnp.abs(mv))
+    warpframe, c1 = flow_warp_pair(ref.astype(compute_dtype()), f1, mv,
+                                   fmax=fmax)
+    c2 = flow_warp(f2, mv2, fmax=0.5 * fmax)
+    c3 = flow_warp(f3, mv3, fmax=0.25 * fmax)
     c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
     return c1, c2, c3, warpframe
 

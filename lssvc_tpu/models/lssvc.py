@@ -29,6 +29,7 @@ from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
 from ..ops import leaky_relu, pad_nhwc, ste_round
 from ..ops.warp_pallas import flow_warp_auto as flow_warp
+from ..ops.warp_pallas import flow_warp_pair
 from .base import Model
 from . import dmc
 from .components import (
@@ -110,26 +111,45 @@ def temporal_prior_encoder(p, c3):
 
 
 def el_feature_adaptor(p, ref_el, feature_el):
-    """Static dispatch on DPB feature provenance (`LSSVC_net.py:195-202`)."""
+    """Static dispatch on DPB feature provenance (`LSSVC_net.py:195-202`).
+
+    The steady-state (48ch full-res) adaptor routes through the
+    width-packed domain in serving mode — it was the last unpacked
+    full-res conv of the EL context path."""
+    from ..ops.nn import packed_width
+
     if feature_el is None:
         return conv(p.sub("feature_adaptor_EL_I"), ref_el)
     if feature_el.shape[-1] == 64:
         return conv(p.sub("feature_adaptor_EL_first_P"), feature_el)
+    if packed_width() == 2:
+        from .packed_blocks import packed_region, pconv
+
+        return packed_region(
+            feature_el, lambda xp: pconv(p.sub("feature_adaptor_EL"), xp))
     return conv(p.sub("feature_adaptor_EL"), feature_el)
 
 
 def el_motion_compensation(p, ref_el, feature_el, mv):
     """Warp EL features at 3 scales with OffsetDiversity refinement at full
     resolution (`LSSVC_net.py:229-244`)."""
-    warpframe = flow_warp(ref_el, mv)
     mv1, mv2, mv3 = scaled_flows(mv)
     f = el_feature_adaptor(p, ref_el, feature_el)
     f1, f2, f3 = feature_extractor_3scale(p.sub("feature_extractor"), f)
-    c1_init = flow_warp(f1, mv1)
+    # one max-reduction serves every warp of this motion field; ref_el &
+    # f1 share mv, so they warp in one kernel dispatch (exact: warping is
+    # per-channel).  mv1 is mv itself (scaled_flows).  The reference
+    # frame joins f1's compute dtype so a bf16 f1 keeps the pair on the
+    # warp kernels' half-traffic bf16 boundary path (f32 in parity mode).
+    from ..ops.nn import compute_dtype
+
+    fmax = jnp.max(jnp.abs(mv))
+    warpframe, c1_init = flow_warp_pair(ref_el.astype(compute_dtype()),
+                                        f1, mv, fmax=fmax)
     c1 = offset_diversity(p.sub("align"), f1,
                           jnp.concatenate([c1_init, warpframe, mv], axis=-1), mv)
-    c2 = flow_warp(f2, mv2)
-    c3 = flow_warp(f3, mv3)
+    c2 = flow_warp(f2, mv2, fmax=0.5 * fmax)
+    c3 = flow_warp(f3, mv3, fmax=0.25 * fmax)
     c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
     return (c1, c2, c3), warpframe
 

@@ -83,7 +83,18 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     go = group_num * offset_num  # 32 warp units
     cg = x.shape[-1] // group_num  # channels per group (3)
 
-    out = conv(p.sub("conv_offset.0"), aux_feature, stride=2)
+    if packed_width() == 2 and aux_feature.shape[2] % 2 == 0:
+        # the stride-2 entry conv reads the full-res 53ch aux tensor
+        # (pads 53->128 lanes unpacked); packed it lands at 106->128.
+        # Output is half-res packed -> unpack to continue plain.
+        from ..ops.packed import unpack_width, pack_width
+        from .packed_blocks import pconv
+
+        out = unpack_width(
+            pconv(p.sub("conv_offset.0"), pack_width(aux_feature, 2),
+                  stride=2), 2)
+    else:
+        out = conv(p.sub("conv_offset.0"), aux_feature, stride=2)
     out = leaky_relu(out, 0.1)
     out = conv(p.sub("conv_offset.2"), out)
     out = leaky_relu(out, 0.1)

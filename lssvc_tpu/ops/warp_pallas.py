@@ -278,40 +278,53 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
 
         ry_i = brow(ry0.astype(jnp.float32))
         wy_i = brow(wy)
+        hsel = []
         for cu in range(n_cu):
             l0 = lx0 - cu * TILE_C
             w0_full = jnp.where((l0 >= 0) & (l0 < TILE_C), one - wx, 0.0)
             w1_full = jnp.where((l0 + 1 >= 0) & (l0 + 1 < TILE_C), wx, 0.0)
-            i0_i = brow(jnp.clip(l0, 0, TILE_C - 1).astype(jnp.float32)
-                        ).astype(jnp.int32)
-            i1_i = brow(jnp.clip(l0 + 1, 0, TILE_C - 1).astype(jnp.float32)
-                        ).astype(jnp.int32)
-            w0_i = brow(w0_full)
-            w1_i = brow(w1_full)
-            for cb in range(n_cb):
+            hsel.append((
+                brow(jnp.clip(l0, 0, TILE_C - 1).astype(jnp.float32)
+                     ).astype(jnp.int32),
+                brow(jnp.clip(l0 + 1, 0, TILE_C - 1).astype(jnp.float32)
+                     ).astype(jnp.int32),
+                brow(w0_full), brow(w1_full)))
+        rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
+        # per-tap-row vertical weights, shared across chunks and channels
+        vws = {}
+        for cb in range(n_cb):
+            # chunk contributions accumulate in-register (f32), one store
+            # per (row, channel block) — out_ref may be bf16
+            acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
+            for cu in range(n_cu):
+                i0_i, i1_i, w0_i, w1_i = hsel[cu]
+
                 def tap(rp, acc):
                     # vertical weight for tap row i+rp, broadcast over the
                     # 8 channels of this block
-                    vw = ((ry_i == rp).astype(jnp.float32) * (one - wy_i)
-                          + (ry_i + 1 == rp).astype(jnp.float32) * wy_i)
+                    if isinstance(rp, int) and rp in vws:
+                        vw = vws[rp]
+                    else:
+                        vw = ((ry_i == rp).astype(jnp.float32)
+                              * (one - wy_i)
+                              + (ry_i + 1 == rp).astype(jnp.float32)
+                              * wy_i)
+                        if isinstance(rp, int):
+                            vws[rp] = vw
                     v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R,
-                                cu * TILE_C:(cu + 1) * TILE_C]
+                                cu * TILE_C:(cu + 1) * TILE_C
+                                ].astype(jnp.float32)
                     g0 = jnp.take_along_axis(v, i0_i, axis=1)
                     g1 = jnp.take_along_axis(v, i1_i, axis=1)
                     return acc + (g0 * w0_i + g1 * w1_i) * vw
 
-                rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
-                acc = jnp.zeros((_VREG_R, TILE_C), jnp.float32)
                 if rp_hi - rp_lo <= 12:  # tiny tier: unroll statically
                     for rp in range(rp_lo, rp_hi):
                         acc = tap(rp, acc)
                 else:  # mid tier (large window): dynamic tap loop
                     acc = jax.lax.fori_loop(rp_lo, rp_hi, tap, acc)
-                if cu == 0:
-                    out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
-                else:
-                    out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
-                        out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] + acc
+            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
+                acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -367,7 +380,8 @@ def _warp_kernel_cblock_wide(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
             def tap(rp, acc):
                 vw = ((ry_i == rp).astype(jnp.float32) * (one - wy_i)
                       + (ry_i + 1 == rp).astype(jnp.float32) * wy_i)
-                v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R, :]
+                v = win_ref[i + rp, cb * _VREG_R:(cb + 1) * _VREG_R,
+                            :].astype(jnp.float32)
                 g0 = jnp.take_along_axis(v, i0_i, axis=1)
                 g1 = jnp.take_along_axis(v, i1_i, axis=1)
                 return acc + (g0 * w0_i + g1 * w1_i) * vw
@@ -379,7 +393,8 @@ def _warp_kernel_cblock_wide(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                     acc = tap(rp, acc)
             else:
                 acc = jax.lax.fori_loop(rp_lo, rp_hi, tap, acc)
-            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
+            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
+                acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -440,9 +455,10 @@ def _warp_kernel_cblock_roll(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                     # left-rotate by (d_h+1+rx) = right-rotate by the
                     # complement (pltpu.roll requires shift >= 0)
                     u = pltpu.roll(v, win_c - (d_h + 1 + rx),
-                                   axis=1)[:, :TILE_C]
+                                   axis=1)[:, :TILE_C].astype(jnp.float32)
                     acc = acc + u * (whx[rk] * vws[rj])
-            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = acc
+            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
+                acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -451,8 +467,19 @@ def _warp_kernel_cblock_roll(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                              d_v=_SMALL_D_V, d_h=63):
-    """Channel-blocked small-flow tier: see _warp_kernel_cblock."""
+    """Channel-blocked small-flow tier: see _warp_kernel_cblock.
+
+    bf16 inputs stay bf16 through the planar transpose, halo pad, window
+    DMA and the output transpose (the boundary relayouts are ~half the
+    tier's measured cost, tools/warp_overhead_bench.py); taps convert to
+    f32 in-register and accumulate in f32, so only the already-bf16 input
+    values and the bf16 output store round — same rounding points as the
+    serving mode's conv outputs."""
     n, h, w, c = x.shape
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    x = x.astype(dt)
+    flow_x = flow_x.astype(jnp.float32)
+    flow_y = flow_y.astype(jnp.float32)
     if n > 1:
         return jnp.concatenate(
             [_flow_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
@@ -489,7 +516,7 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
     out = pl.pallas_call(
         functools.partial(kernel, b=b, d_v=d_v, d_h=d_h,
                           h=h, w=w, n_chan=c, tr=tr),
-        out_shape=jax.ShapeDtypeStruct((hp, c, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, c, wp), dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
@@ -501,7 +528,7 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
         out_specs=pl.BlockSpec((tr, c, TILE_C), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((win_r, c, win_c), jnp.float32),
+            pltpu.VMEM((win_r, c, win_c), dt),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -571,12 +598,14 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                         vw = ((ry0 == rp).astype(jnp.float32) * (one - wy)
                               + (ry0 + 1 == rp).astype(jnp.float32) * wy)
                         v = win_ref[i + rp, k * go + us:k * go + us + _VREG_R,
-                                    cu * TILE_C:(cu + 1) * TILE_C]
+                                    cu * TILE_C:(cu + 1) * TILE_C
+                                    ].astype(jnp.float32)
                         g0 = jnp.take_along_axis(v, i0, axis=1)
                         g1 = jnp.take_along_axis(v, i1, axis=1)
                         acc = acc + (g0 * w0 + g1 * w1) * vw
                 m = mask_ref[i, us:us + _VREG_R, :]
-                out_ref[k * go + us:k * go + us + _VREG_R, i, :] = acc * m
+                out_ref[k * go + us:k * go + us + _VREG_R, i, :] = \
+                    (acc * m).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -587,8 +616,15 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
                                 b=_SMALL_BOUND, d_v=_SMALL_D_V, d_h=63):
     """Grouped channel-blocked small-flow tier: see
     _grouped_warp_kernel_cblock.  Expands the source to block layout
-    (one XLA concat) outside the kernel."""
+    (one XLA concat) outside the kernel.  bf16 sources stay bf16 through
+    the expansion/transpose/window DMA (see _flow_warp_pallas_cblock);
+    flows and masks stay f32."""
     n, h, w, c_src = x.shape
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    x = x.astype(dt)
+    flow_x = flow_x.astype(jnp.float32)
+    flow_y = flow_y.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     if n > 1:
         return jnp.concatenate(
             [_grouped_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
@@ -630,7 +666,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
     out = pl.pallas_call(
         functools.partial(_grouped_warp_kernel_cblock, b=b, d_v=d_v,
                           d_h=d_h, h=h, w=w, go=go, tr=tr),
-        out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, go, TILE_C), lambda i, j: (i, 0, j),
@@ -645,7 +681,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
                                lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((win_r, go * cg, win_c), jnp.float32),
+            pltpu.VMEM((win_r, go * cg, win_c), dt),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1010,7 +1046,7 @@ def set_warp_differentiable(on: bool):
     _DIFFERENTIABLE = bool(on)
 
 
-def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
+def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
     """Bilinear backward warp, three-tier runtime dispatch:
 
       |flow| <= 2            -> small-window pallas kernel (d_v=3, 6x less
@@ -1018,6 +1054,12 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
       |flow| within (d_v-1,
                      d_h-1)  -> full-window pallas kernel
       otherwise              -> exact XLA gather fallback
+
+    `fmax` (optional traced scalar) is an upper bound on |flow| per axis;
+    when the caller already knows one (e.g. the three scaled flows of one
+    decoded motion field share max|mv| * {1, 1/2, 1/4}), passing it skips
+    this warp's own full-resolution max-reductions.  An over-estimate only
+    risks a slower tier, never a wrong result.
 
     Arbitrary H/W are padded up to the tile grid for the kernel and cropped
     back (padded pixels warp with zero flow and are discarded).
@@ -1028,18 +1070,25 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
     pallas path in interpret mode at small shapes."""
     if _DIFFERENTIABLE or jax.default_backend() != "tpu":
         return _flow_warp_xla(x, flow)
-    # kernels are written for f32 blocks; bf16-mode conv outputs upcast here
-    # (the consumer conv casts back to bf16 — negligible traffic at the
-    # warp's own cost scale)
-    x = x.astype(jnp.float32)
+    # bf16 inputs stay bf16 through the tiny tier (its boundary relayouts
+    # run at half the bytes; taps still accumulate in f32); the mid/full
+    # tiers upcast to f32 internally and cast back so every lax.cond
+    # branch returns the same dtype
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    x = x.astype(dt)
     flow = flow.astype(jnp.float32)
     _, h, w, _ = x.shape
     fx = flow[..., 0]
     fy = flow[..., 1]
-    fmax = jnp.maximum(jnp.max(jnp.abs(fx)), jnp.max(jnp.abs(fy)))
+    if fmax is None:
+        fx_max = jnp.max(jnp.abs(fx))
+        fy_max = jnp.max(jnp.abs(fy))
+        fmax = jnp.maximum(fx_max, fy_max)
+        in_bounds = (fx_max <= d_h - 1) & (fy_max <= d_v - 1)
+    else:
+        fmax = jnp.asarray(fmax, jnp.float32)
+        in_bounds = fmax <= min(d_h, d_v) - 1
     tiny = fmax <= _SMALL_BOUND
-    in_bounds = (jnp.max(jnp.abs(fx)) <= d_h - 1) & \
-        (jnp.max(jnp.abs(fy)) <= d_v - 1)
 
     def windowed_or_gather(operands):
         # the fallback uses the sequential-tap formulation: XLA reserves HBM
@@ -1047,8 +1096,11 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
         # at 1080p batch>1 even when the pallas branch runs
         return jax.lax.cond(
             in_bounds,
-            lambda ops: _flow_warp_pallas(ops[0], ops[1], ops[2], d_v, d_h),
-            lambda ops: _flow_warp_xla_lowmem(ops[0], ops[3]),
+            lambda ops: _flow_warp_pallas(
+                ops[0].astype(jnp.float32), ops[1], ops[2], d_v,
+                d_h).astype(dt),
+            lambda ops: _flow_warp_xla_lowmem(
+                ops[0].astype(jnp.float32), ops[3]).astype(dt),
             operands)
 
     return jax.lax.cond(
@@ -1057,6 +1109,21 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63):
                                              _SMALL_BOUND, _SMALL_D_V, d_h),
         windowed_or_gather,
         (x, fx, fy, flow))
+
+
+def flow_warp_pair(a, b, flow, fmax=None):
+    """Warp two tensors by the SAME flow in one kernel dispatch.
+
+    The per-warp cost is dominated by per-channel-block gathers, but each
+    dispatch also pays bf16->f32 casts, |flow| max-reductions, the tier
+    lax.conds and NHWC<->planar transposes; channel-concatenating
+    same-flow warps (e.g. a model's warped reference frame + its warped
+    full-res feature pyramid level) shares all of that.  Exact per
+    channel: warping is channel-independent, so concat-warp-split equals
+    two separate warps bit-for-bit on every tier."""
+    ca = a.shape[-1]
+    out = flow_warp_auto(jnp.concatenate([a, b], axis=-1), flow, fmax=fmax)
+    return out[..., :ca], out[..., ca:]
 
 
 def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,

@@ -144,6 +144,12 @@ def main():
     if args.force_intra:
         args.model_path = args.i_frame_model_path
 
+    # must run before first jax use (JAX_PLATFORMS=cpu would otherwise be
+    # overridden by the deployment sitecustomize's TPU registration)
+    from lssvc_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+
     # persistent XLA compile cache: per-resolution programs compile once
     # across runs (same policy as bench.py)
     import jax

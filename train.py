@@ -162,6 +162,12 @@ class YUVPairs:
 def main():
     args = parse_args()
 
+    # must run before first jax use: the deployment sitecustomize registers
+    # the TPU backend at interpreter start and the env var alone is ignored
+    from lssvc_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+
     import jax
     import jax.numpy as jnp
     import optax
