@@ -38,7 +38,34 @@ import time
 BASELINE_FPS = 1.0 / (1.44 + 1.35)
 
 
-def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
+def synthetic_motion_frames(el_hw, n_frames, seed=7):
+    """n_frames of (H, W, 3) with smooth texture, ~1.5 px/frame global pan
+    and a faster-moving square — realistic flow magnitudes for a trained
+    model (random-init bench flows are ~0.3 px, which always takes the
+    tiny warp tier; VERDICT round-1 weak #6)."""
+    import numpy as np
+
+    h, w = el_hw
+    rng = np.random.default_rng(seed)
+    # smooth base texture: low-frequency random field upsampled
+    small = rng.random((h // 16 + 2, w // 16 + 2, 3)).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    base = ndi.zoom(small, (16, 16, 1), order=1)[:h, :w]
+    sq = h // 8
+    frames = []
+    for t in range(n_frames):
+        f = np.roll(base, (int(1.5 * t) % h, int(1.5 * t) % w), axis=(0, 1))
+        y0 = (h // 4 + 3 * t) % (h - sq)
+        x0 = (w // 4 + 4 * t) % (w - sq)
+        f = f.copy()
+        f[y0:y0 + sq, x0:x0 + sq] = rng.random(3).astype(np.float32)
+        frames.append(np.clip(f, 0.0, 1.0))
+    return frames
+
+
+def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
+                ckpt=None, video=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,9 +95,20 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
 
         set_precision_mode("bf16")
         set_conv1x1_einsum(True)
+    elif mode == "bf16_packed_einsum":  # packed domain + einsum 1x1s
+        from lssvc_tpu.ops.nn import set_conv1x1_einsum, set_packed_width
+
+        set_precision_mode("bf16")
+        set_packed_width(2)
+        set_conv1x1_einsum(True)
     else:
         set_precision_mode(mode)
-    params = init_lssvc(0)
+    if ckpt:
+        from lssvc_tpu.checkpoint import load_params
+
+        params = load_params(ckpt)
+    else:
+        params = init_lssvc(0)
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)
     shape_hr = el_hw
 
@@ -105,20 +143,45 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1):
     # (the codec is fully convolutional; batching amortizes per-op
     # dispatch/layout overhead on this overhead-bound graph)
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
-    x_bl = jax.random.uniform(ks[0], (batch, *bl_hw, 3))
-    x_el = jax.random.uniform(ks[1], (batch, *el_hw, 3))
-    dpb0 = {
-        "ref_frame_bl": jax.random.uniform(ks[2], (batch, *bl_hw, 3)),
-        "ref_frame_el": jax.random.uniform(ks[3], (batch, *el_hw, 3)),
-        "ref_feature_bl": jax.random.uniform(ks[4], (batch, *bl_hw, 64)),
-        "ref_feature_el": jax.random.uniform(ks[5], (batch, *el_hw, 48)),
-    }
+    if video == "synthetic":
+        # real consecutive frames with ~1.5-4 px/frame motion, BL by the
+        # harness's MATLAB bicubic — flows take whatever warp tier the
+        # model's actual motion estimates select (trained-weights bench)
+        from lssvc_tpu.utils.resize import imresize
+
+        frames = synthetic_motion_frames(el_hw, k + 2)
+        xs_el = [jnp.asarray(np.broadcast_to(f, (batch, *el_hw, 3)))
+                 for f in frames]
+        _down = jax.jit(lambda a: imresize(
+            a.transpose(0, 3, 1, 2), sizes=bl_hw).transpose(0, 2, 3, 1))
+        xs_bl = [_down(x) for x in xs_el]
+        x_seq = list(zip(xs_bl, xs_el))
+        dpb0 = {
+            "ref_frame_bl": xs_bl[0],
+            "ref_frame_el": xs_el[0],
+            "ref_feature_bl": jax.random.uniform(ks[4], (batch, *bl_hw, 64)),
+            "ref_feature_el": jax.random.uniform(ks[5], (batch, *el_hw, 48)),
+        }
+    else:
+        x_bl = jax.random.uniform(ks[0], (batch, *bl_hw, 3))
+        x_el = jax.random.uniform(ks[1], (batch, *el_hw, 3))
+        x_seq = None
+        dpb0 = {
+            "ref_frame_bl": jax.random.uniform(ks[2], (batch, *bl_hw, 3)),
+            "ref_frame_el": jax.random.uniform(ks[3], (batch, *el_hw, 3)),
+            "ref_feature_bl": jax.random.uniform(ks[4], (batch, *bl_hw, 64)),
+            "ref_feature_el": jax.random.uniform(ks[5], (batch, *el_hw, 48)),
+        }
 
     def run_chain(n):
         dpb = dpb0
         bits = jnp.zeros(())
-        for _ in range(n):
-            dpb, bits = step(params, x_bl, x_el, dpb, bits)
+        for i in range(n):
+            if x_seq is not None:
+                xb, xe = x_seq[(i + 1) % len(x_seq)]
+            else:
+                xb, xe = x_bl, x_el
+            dpb, bits = step(params, xb, xe, dpb, bits)
         return float(np.asarray(bits))  # resolves only after all n frames
 
     def measure():
@@ -157,12 +220,19 @@ def main():
     batch = 1
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    ckpt = None
+    if "--ckpt" in sys.argv:  # trained weights (npz from train.py)
+        ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
+    video = None
+    if "--video" in sys.argv:  # 'synthetic' = real-motion frame sequence
+        video = sys.argv[sys.argv.index("--video") + 1]
 
     fps = None
     metric = None
     for el_hw, tag in (((1152, 1920), "1080p"), ((768, 1280), "720p")):
         try:
-            fps = bench_chain(el_hw=el_hw, mode=mode, batch=batch)
+            fps = bench_chain(el_hw=el_hw, mode=mode, batch=batch,
+                              ckpt=ckpt, video=video)
             metric = f"two_layer_{tag}_fps_per_chip"
             break
         except Exception:

@@ -1,0 +1,180 @@
+"""Spatial (height-axis) partitioning of a SINGLE stream over a device mesh.
+
+Data parallelism (`parallel/serve.py`) scales aggregate throughput with
+independent streams, but a single stream's latency is bound to one chip.
+This module shards one frame's height dimension across the mesh so every
+stage of the two-layer forward — full-res context stacks, SpyNet pyramid,
+AEs, the four-part prior at 1/16 res — runs on H/n rows per chip:
+
+- Convolutions / transposed convolutions: XLA's SPMD partitioner inserts
+  the boundary halo exchanges (collective-permute over ICI) automatically
+  from the sharding annotations; nothing model-side changes.
+- Dense resize matmuls (`utils/resize.py`, `ops/warp.py:bilinear_resize`):
+  partition as ordinary matmuls over the H contraction.
+- Bit estimation: global sums; GSPMD inserts the all-reduce.
+- Backward warps: bounded-displacement gathers.  On the automatic path
+  GSPMD partitions the gather formulation.  For the Pallas warp kernels
+  (which GSPMD cannot partition) `flow_warp_spatial` provides the explicit
+  shard_map halo-exchange wrapper: each shard ppermutes `halo` boundary
+  rows from its mesh neighbours, edge shards clamp-replicate their own
+  border rows (matching the global border-clamp semantics of
+  `ops/warp.py:flow_warp`), and the per-shard warp runs on the padded
+  strip with a row offset.
+
+Reference counterpart: none — the reference's only parallelism is a
+sequence-level process pool (`/root/reference/test.py:685-748`).  This is
+the TPU-native single-stream scaling axis (mesh + pjit + ICI collectives).
+
+Validated on the virtual CPU mesh (`tests/test_spatial.py`): the sharded
+forward matches the unsharded one and the halo warp matches the global
+warp bit-for-bit in fp32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def h_sharding(mesh: Mesh, axis: str = "h") -> NamedSharding:
+    """NHWC array sharded along its height dim."""
+    return NamedSharding(mesh, PS(None, axis, None, None))
+
+
+def make_spatial_mesh(n_devices: int | None = None, axis: str = "h") -> Mesh:
+    import numpy as np
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def make_spatial_forward(mesh: Mesh, shape_hr, scale_factor: float = 2.0,
+                         pad_size=(0, 0, 0, 0), axis: str = "h"):
+    """Jit the two-layer P-frame forward with every image-like input and
+    DPB output sharded along H over `mesh`.
+
+    Returns fn(params, x_bl, x_el, dpb) -> (dpb, bit_bl + bit_el) with
+    `dpb` the usual four-entry dict.  Parameters are replicated; frames
+    and features live H-sharded on device between frames (the DPB feeds
+    back without resharding).
+    """
+    from ..models import lssvc as lssvc_model
+
+    h_sh = h_sharding(mesh, axis)
+    repl = NamedSharding(mesh, PS())
+
+    def fwd(params, x_bl, x_el, dpb):
+        out = lssvc_model.forward_one_frame(
+            params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+            dpb["ref_feature_bl"], dpb["ref_feature_el"],
+            shape_hr, scale_factor, pad_size)
+        return out["dpb"], out["bit_bl"] + out["bit_el"]
+
+    dpb_sh = {k: h_sh for k in ("ref_frame_bl", "ref_frame_el",
+                                "ref_feature_bl", "ref_feature_el")}
+    return jax.jit(fwd,
+                   in_shardings=(repl, h_sh, h_sh, dpb_sh),
+                   out_shardings=(dpb_sh, repl))
+
+
+# --- explicit halo-exchange warp (shard_map) --------------------------------
+
+
+def _pad_rows_from_neighbours(x_local, halo: int, axis: str):
+    """Per-shard (inside shard_map): return x with `halo` rows of context
+    above and below.  Interior boundaries come from the mesh neighbours via
+    ppermute; the global top/bottom edges clamp-replicate the shard's own
+    border row (identical to the global warp's border-clamp sampling).
+
+    x_local: (N, h_local, W, C) shard view; requires h_local >= halo.
+    """
+    n_shards = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # rows this shard sends down to the next shard / up to the previous one
+    bottom_rows = x_local[:, -halo:]  # -> becomes next shard's top halo
+    top_rows = x_local[:, :halo]      # -> becomes previous shard's bottom halo
+
+    perm_down = [(i, i + 1) for i in range(n_shards - 1)]
+    perm_up = [(i + 1, i) for i in range(n_shards - 1)]
+    from_above = jax.lax.ppermute(bottom_rows, axis, perm_down)
+    from_below = jax.lax.ppermute(top_rows, axis, perm_up)
+
+    # edge shards: replicate own border row (global clamp semantics)
+    clamp_top = jnp.repeat(x_local[:, :1], halo, axis=1)
+    clamp_bot = jnp.repeat(x_local[:, -1:], halo, axis=1)
+    top = jnp.where(idx == 0, clamp_top, from_above)
+    bot = jnp.where(idx == n_shards - 1, clamp_bot, from_below)
+    return jnp.concatenate([top, x_local, bot], axis=1)
+
+
+def _row_indexed_warp(x_pad, flow, halo: int, row0, h_total: int):
+    """Bilinear backward warp of the local output rows against the padded
+    strip.  Sampling clamps against the STRIP bounds; because the strip
+    carries `halo` rows of true context (or clamp-replicated edge rows)
+    and |flow_y| <= halo, this equals the global warp's clamp against the
+    full image (`ops/warp.py:flow_warp` semantics: align_corners grid,
+    border padding).
+
+    x_pad: (N, h_local + 2*halo, W, C); flow: (N, h_local, W, 2) local
+    view; row0: this shard's first global row (traced scalar).
+    """
+    del row0, h_total  # strip-local clamping is exact given the halo
+    n, hl, w, _ = flow.shape
+    hp = x_pad.shape[1]
+    fx, fy = flow[..., 0], flow[..., 1]
+    yy = jnp.arange(hl, dtype=flow.dtype)[None, :, None] + fy + halo
+    xx = jnp.arange(w, dtype=flow.dtype)[None, None, :] + fx
+    y0 = jnp.clip(jnp.floor(yy), 0, hp - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xx), 0, w - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, hp - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(yy, 0, hp - 1) - y0.astype(flow.dtype)
+    wx = jnp.clip(xx, 0, w - 1) - x0.astype(flow.dtype)
+
+    def gather(yi, xi):
+        flat = x_pad.reshape(n, hp * w, -1)
+        lin = (yi * w + xi).reshape(n, hl * w)
+        return jnp.take_along_axis(flat, lin[..., None], axis=1
+                                   ).reshape(n, hl, w, -1)
+
+    out = ((1 - wy)[..., None] * ((1 - wx)[..., None] * gather(y0, x0)
+                                  + wx[..., None] * gather(y0, x1))
+           + wy[..., None] * ((1 - wx)[..., None] * gather(y1, x0)
+                              + wx[..., None] * gather(y1, x1)))
+    return out
+
+
+def flow_warp_spatial(x, flow, mesh: Mesh, halo: int, axis: str = "h"):
+    """Backward warp of an H-sharded tensor by an H-sharded flow without
+    gathering the full frame to any chip.
+
+    Exact vs the global `ops/warp.py:flow_warp` whenever every
+    |flow_y| <= halo (codec flows are a few pixels; the Pallas tiers
+    already key off the same bound).  |flow_x| is unrestricted — W is
+    unsharded.  Each shard exchanges `halo` boundary rows with its mesh
+    neighbours (ppermute over ICI), then warps its own rows against the
+    padded strip.  On TPU deployments the per-shard warp body is the
+    place to call the Pallas kernels; the portable gather body used here
+    is what non-TPU backends run anyway.
+    """
+    h_total = x.shape[1]
+
+    def local(x_l, flow_l):
+        x_pad = _pad_rows_from_neighbours(x_l, halo, axis)
+        row0 = jax.lax.axis_index(axis) * x_l.shape[1]
+        return _row_indexed_warp(x_pad, flow_l, halo, row0, h_total)
+
+    spec = PS(None, axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec)(x, flow)

@@ -1,0 +1,108 @@
+"""Spatial (height) single-stream partitioning on the virtual CPU mesh.
+
+Covers `parallel/spatial.py`: the shard_map halo-exchange warp against the
+global warp (including flows that sample past the global borders at the
+edge shards), and the H-sharded two-layer forward against the unsharded
+one (slow — compiles the full model twice).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lssvc_tpu.ops.warp import flow_warp
+from lssvc_tpu.parallel.spatial import (
+    flow_warp_spatial,
+    h_sharding,
+    make_spatial_forward,
+    make_spatial_mesh,
+)
+
+
+def _rand_case(rng, h=64, w=32, c=5, fy_max=3.5, fx_max=9.0):
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)), dtype=jnp.float32)
+    flow = jnp.asarray(
+        np.stack([rng.uniform(-fx_max, fx_max, (1, h, w)),
+                  rng.uniform(-fy_max, fy_max, (1, h, w))], axis=-1),
+        dtype=jnp.float32)
+    return x, flow
+
+
+def test_flow_warp_spatial_matches_global(rng):
+    mesh = make_spatial_mesh(8)
+    x, flow = _rand_case(rng)  # |fy| < 4 = halo; hl = 8 rows/shard
+    ref = flow_warp(x, flow)
+    out = flow_warp_spatial(x, flow, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_flow_warp_spatial_clamps_at_global_borders(rng):
+    """Flows at the top/bottom shards that point past the image border must
+    reproduce the global border-clamp result, not sample neighbour rows."""
+    mesh = make_spatial_mesh(8)
+    h = 64
+    x, flow = _rand_case(rng, h=h)
+    # point strongly off-image at the first and last rows
+    flow = flow.at[:, :2, :, 1].set(-3.9)
+    flow = flow.at[:, h - 2:, :, 1].set(3.9)
+    # non-integer x displacement at the same rows exercises the corner path
+    ref = flow_warp(x, flow)
+    out = flow_warp_spatial(x, flow, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_flow_warp_spatial_wide_horizontal(rng):
+    """W is unsharded, so |flow_x| may exceed any halo."""
+    mesh = make_spatial_mesh(4)
+    x, flow = _rand_case(rng, h=32, w=48, fx_max=30.0)
+    ref = flow_warp(x, flow)
+    out = flow_warp_spatial(x, flow, mesh, halo=6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_spatial_forward_matches_unsharded():
+    """H-sharded two-layer forward == unsharded forward (GSPMD halo
+    exchange for convs, matmul partitioning for resizes, psum for bits)."""
+    from lssvc_tpu.models import lssvc as lssvc_model
+    from lssvc_tpu.models.init import init_lssvc
+
+    mesh = make_spatial_mesh(4)
+    params = init_lssvc(0)
+    el_hw, bl_hw = (128, 128), (64, 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x_bl = jax.random.uniform(ks[0], (1, *bl_hw, 3))
+    x_el = jax.random.uniform(ks[1], (1, *el_hw, 3))
+    dpb = {
+        "ref_frame_bl": jax.random.uniform(ks[2], (1, *bl_hw, 3)),
+        "ref_frame_el": jax.random.uniform(ks[3], (1, *el_hw, 3)),
+        "ref_feature_bl": jax.random.uniform(ks[4], (1, *bl_hw, 64)),
+        "ref_feature_el": jax.random.uniform(ks[5], (1, *el_hw, 48)),
+    }
+
+    fwd = make_spatial_forward(mesh, el_hw, 2.0, (0, 0, 0, 0))
+    dpb_sh, bits_sh = fwd(params, x_bl, x_el, dpb)
+
+    ref = lssvc_model.forward_one_frame(
+        params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+        dpb["ref_feature_bl"], dpb["ref_feature_el"],
+        el_hw, 2.0, (0, 0, 0, 0))
+    bits_ref = ref["bit_bl"] + ref["bit_el"]
+
+    for k in dpb:
+        # random-init recons are chaotic with values up to ~1e2; GSPMD
+        # re-associates reductions, so allow 1e-3-scale drift (the suite's
+        # scale-aware parity convention for untrained forwards)
+        np.testing.assert_allclose(np.asarray(dpb_sh[k]),
+                                   np.asarray(ref["dpb"][k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
+    assert abs(float(bits_sh) - float(bits_ref)) / max(float(bits_ref), 1.0) < 1e-3
+
+    # the DPB output sharding feeds back without resharding
+    assert dpb_sh["ref_frame_el"].sharding.is_equivalent_to(
+        h_sharding(mesh), ndim=4)

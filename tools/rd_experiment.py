@@ -86,9 +86,21 @@ def train_models(args, lmbda, out_dir):
     train = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "train.py")
 
-    def run(cmd):
-        print("+", " ".join(cmd), flush=True)
-        subprocess.run(cmd, check=True)
+    def run(cmd, attempts=4):
+        """Run a training stage, retrying on transient device/tunnel
+        failures (the remote compile helper can drop mid-run; stages
+        resume from their --resume checkpoint, so a retry only repeats
+        the failed stage)."""
+        for i in range(attempts):
+            print("+", " ".join(cmd), flush=True)
+            r = subprocess.run(cmd)
+            if r.returncode == 0:
+                return
+            wait = 120 * (i + 1)
+            print(f"stage failed (rc={r.returncode}); "
+                  f"retry {i + 1}/{attempts - 1} in {wait}s", flush=True)
+            time.sleep(wait)
+        raise RuntimeError(f"stage failed after {attempts} attempts: {cmd}")
 
     if not os.path.exists(intra_ckpt):
         run([py, train, "--loss", "intra", "--steps", str(args.steps_intra),
