@@ -2,6 +2,7 @@ from .mesh import make_mesh, replicate, shard_batch
 from .scheduler import run_tasks
 from .spatial import (
     flow_warp_spatial,
+    grouped_warp_spatial,
     h_sharding,
     make_spatial_forward,
     make_spatial_mesh,

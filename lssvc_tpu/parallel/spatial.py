@@ -178,3 +178,40 @@ def flow_warp_spatial(x, flow, mesh: Mesh, halo: int, axis: str = "h"):
     spec = PS(None, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec),
                      out_specs=spec)(x, flow)
+
+
+def grouped_warp_spatial(x, flow_x, flow_y, mask, group_num: int,
+                         mesh: Mesh, halo: int, axis: str = "h"):
+    """OffsetDiversity's grouped warp (`ops/warp.py:grouped_warp_lowmem`
+    semantics: block channel layout, per-unit flows and masks) on an
+    H-sharded frame.
+
+    Exact vs the global grouped warp whenever every |flow_y| <= halo.
+    Reuses the global implementation per shard: the source strip is padded
+    with `halo` neighbour rows (ppermute; edge shards clamp-replicate),
+    the flow/mask planes are edge-padded to match, and the padded output
+    rows are cropped — so center rows sample exactly as the global warp
+    would, including its border clamp.
+    """
+    from ..ops.warp import grouped_warp_lowmem
+
+    def local(x_l, fx_l, fy_l, m_l):
+        x_pad = _pad_rows_from_neighbours(x_l, halo, axis)
+        pad = ((0, 0), (halo, halo), (0, 0), (0, 0))
+        fx_p = jnp.pad(fx_l, pad, mode="edge")
+        fy_p = jnp.pad(fy_l, pad, mode="edge")
+        m_p = jnp.pad(m_l, pad, mode="edge")
+        out = grouped_warp_lowmem(x_pad, fx_p, fy_p, m_p, group_num)
+        return out[:, halo:-halo]
+
+    spec = PS(None, axis, None, None)
+    # check_vma off: the fori_loop carry inside grouped_warp_lowmem is
+    # created in the body (unvarying) and updated with shard-varying rows,
+    # which the static varying-axes checker rejects despite being correct
+    try:
+        sm = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                       out_specs=spec, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        sm = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                       out_specs=spec, check_rep=False)
+    return sm(x, flow_x, flow_y, mask)

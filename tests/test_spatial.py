@@ -65,6 +65,26 @@ def test_flow_warp_spatial_wide_horizontal(rng):
                                rtol=1e-4, atol=5e-5)
 
 
+def test_grouped_warp_spatial_matches_global(rng):
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.parallel.spatial import grouped_warp_spatial
+
+    mesh = make_spatial_mesh(8)
+    b, h, w, g, go, cg = 1, 64, 32, 4, 8, 3  # C = g*cg = 12, out = cg*go
+    x = jnp.asarray(rng.standard_normal((b, h, w, g * cg)),
+                    dtype=jnp.float32)
+    fx = jnp.asarray(rng.uniform(-9, 9, (b, h, w, go)), dtype=jnp.float32)
+    fy = jnp.asarray(rng.uniform(-3.5, 3.5, (b, h, w, go)),
+                     dtype=jnp.float32)
+    # off-image flows at the global borders exercise the clamp path
+    fy = fy.at[:, :2].set(-3.9).at[:, h - 2:].set(3.9)
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, go)), dtype=jnp.float32)
+    ref = grouped_warp_lowmem(x, fx, fy, mask, g)
+    out = grouped_warp_spatial(x, fx, fy, mask, g, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+
 @pytest.mark.slow
 def test_spatial_forward_matches_unsharded():
     """H-sharded two-layer forward == unsharded forward (GSPMD halo
