@@ -1068,6 +1068,16 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
     with minutes-long CPU compiles per shape — so the XLA path is used
     directly; dedicated kernel tests (tests/test_warp_pallas.py) exercise the
     pallas path in interpret mode at small shapes."""
+    from . import spatial_ctx
+
+    if spatial_ctx.active():
+        # H-sharded program: warp per shard on a neighbour-padded strip
+        # (shard_map halo exchange; Pallas kernels run shard-locally)
+        from ..parallel.spatial import flow_warp_sharded_auto
+
+        return flow_warp_sharded_auto(x, flow, spatial_ctx.MESH,
+                                      spatial_ctx.HALO, spatial_ctx.AXIS,
+                                      fmax=fmax)
     if _DIFFERENTIABLE or jax.default_backend() != "tpu":
         return _flow_warp_xla(x, flow)
     # bf16 inputs stay bf16 through the tiny tier (its boundary relayouts
@@ -1133,6 +1143,15 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     (d_v, d_h), XLA grouped-gather fallback otherwise.
 
     Non-TPU backends use the XLA path directly (see flow_warp_auto)."""
+    from . import spatial_ctx
+
+    if spatial_ctx.active():
+        from ..parallel.spatial import grouped_warp_sharded_auto
+
+        return grouped_warp_sharded_auto(x, flow_x, flow_y, mask,
+                                         group_num, spatial_ctx.MESH,
+                                         spatial_ctx.HALO_GROUPED,
+                                         spatial_ctx.AXIS)
     from .warp import flow_warp_grouped, grouped_warp_lowmem
 
     x = x.astype(jnp.float32)

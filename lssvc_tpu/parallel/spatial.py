@@ -59,7 +59,9 @@ def make_spatial_mesh(n_devices: int | None = None, axis: str = "h") -> Mesh:
 
 
 def make_spatial_forward(mesh: Mesh, shape_hr, scale_factor: float = 2.0,
-                         pad_size=(0, 0, 0, 0), axis: str = "h"):
+                         pad_size=(0, 0, 0, 0), axis: str = "h",
+                         kernel_warps: bool = False, halo: int = 8,
+                         halo_grouped: int = 44):
     """Jit the two-layer P-frame forward with every image-like input and
     DPB output sharded along H over `mesh`.
 
@@ -67,17 +69,30 @@ def make_spatial_forward(mesh: Mesh, shape_hr, scale_factor: float = 2.0,
     `dpb` the usual four-entry dict.  Parameters are replicated; frames
     and features live H-sharded on device between frames (the DPB feeds
     back without resharding).
+
+    kernel_warps=True routes every warp through the shard_map
+    halo-exchange wrappers (`ops/spatial_ctx.py`), so on TPU each shard
+    runs the Pallas warp kernels on its own strip — required for the
+    spatial mode to be fast on real hardware (GSPMD partitions the
+    gather formulation into scalar loops).  Exact whenever |flow_y| stays
+    within `halo` (single-flow warps) / `halo_grouped` (OffsetDiversity).
     """
     from ..models import lssvc as lssvc_model
+    from ..ops import spatial_ctx
 
     h_sh = h_sharding(mesh, axis)
     repl = NamedSharding(mesh, PS())
 
     def fwd(params, x_bl, x_el, dpb):
-        out = lssvc_model.forward_one_frame(
-            params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
-            dpb["ref_feature_bl"], dpb["ref_feature_el"],
-            shape_hr, scale_factor, pad_size)
+        import contextlib
+
+        ctx = (spatial_ctx.spatial(mesh, axis, halo, halo_grouped)
+               if kernel_warps else contextlib.nullcontext())
+        with ctx:
+            out = lssvc_model.forward_one_frame(
+                params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+                dpb["ref_feature_bl"], dpb["ref_feature_el"],
+                shape_hr, scale_factor, pad_size)
         return out["dpb"], out["bit_bl"] + out["bit_el"]
 
     dpb_sh = {k: h_sh for k in ("ref_frame_bl", "ref_frame_el",
@@ -116,6 +131,27 @@ def _pad_rows_from_neighbours(x_local, halo: int, axis: str):
     top = jnp.where(idx == 0, clamp_top, from_above)
     bot = jnp.where(idx == n_shards - 1, clamp_bot, from_below)
     return jnp.concatenate([top, x_local, bot], axis=1)
+
+
+def _padded_strip(x_local, halo: int, axis: str):
+    """Per-shard strip with `halo` rows of context on each side.
+
+    halo < h_local: single ppermute exchange with the immediate
+    neighbours (`_pad_rows_from_neighbours`).  halo >= h_local (deep
+    halos on small shards, e.g. OffsetDiversity's 40-px offsets on a
+    short test frame): all-gather the rows, edge-pad the full image, and
+    slice this shard's strip — more bytes, still exact.
+    """
+    h_local = x_local.shape[1]
+    if halo < h_local:
+        return _pad_rows_from_neighbours(x_local, halo, axis)
+    full = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
+    full = jnp.concatenate(
+        [jnp.repeat(full[:, :1], halo, axis=1), full,
+         jnp.repeat(full[:, -1:], halo, axis=1)], axis=1)
+    row0 = jax.lax.axis_index(axis) * h_local  # strip start in padded rows
+    return jax.lax.dynamic_slice_in_dim(full, row0, h_local + 2 * halo,
+                                        axis=1)
 
 
 def _row_indexed_warp(x_pad, flow, halo: int, row0, h_total: int):
@@ -180,6 +216,77 @@ def flow_warp_spatial(x, flow, mesh: Mesh, halo: int, axis: str = "h"):
                      out_specs=spec)(x, flow)
 
 
+def _shard_map_norep(local, mesh, in_specs, out_specs):
+    """shard_map with the static varying-axes check off (fori_loop carries
+    created inside warp bodies are unvarying until updated, which the
+    checker rejects despite correctness)."""
+    try:
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def flow_warp_sharded_auto(x, flow, mesh: Mesh, halo: int, axis: str = "h",
+                           fmax=None):
+    """H-sharded warp that runs the normal tiered dispatch PER SHARD —
+    on TPU each shard executes the Pallas kernels on its neighbour-padded
+    strip (the GSPMD-partitioned gather alternative lowers to scalar
+    loops).  Exact vs the global warp whenever every |flow_y| <= halo
+    (each tier's own bounds still apply within the strip; the XLA
+    fallback tier clamps at the strip, which equals the global clamp
+    under the same precondition)."""
+    from ..ops import spatial_ctx, warp_pallas
+
+    pad = ((0, 0), (halo, halo), (0, 0), (0, 0))
+    spec = PS(None, axis, None, None)
+
+    if fmax is None:
+
+        def local(x_l, flow_l):
+            x_pad = _padded_strip(x_l, halo, axis)
+            flow_pad = jnp.pad(flow_l, pad, mode="edge")
+            with spatial_ctx.cleared():
+                out = warp_pallas.flow_warp_auto(x_pad, flow_pad)
+            return out[:, halo:-halo]
+
+        return _shard_map_norep(local, mesh, (spec, spec), spec)(x, flow)
+
+    def local_f(x_l, flow_l, fmax_s):
+        x_pad = _padded_strip(x_l, halo, axis)
+        flow_pad = jnp.pad(flow_l, pad, mode="edge")
+        with spatial_ctx.cleared():
+            out = warp_pallas.flow_warp_auto(x_pad, flow_pad, fmax=fmax_s)
+        return out[:, halo:-halo]
+
+    return _shard_map_norep(local_f, mesh, (spec, spec, PS()),
+                            spec)(x, flow, jnp.asarray(fmax, jnp.float32))
+
+
+def grouped_warp_sharded_auto(x, flow_x, flow_y, mask, group_num: int,
+                              mesh: Mesh, halo: int, axis: str = "h"):
+    """Grouped (OffsetDiversity) tiered warp per shard; see
+    `flow_warp_sharded_auto`.  Exact whenever every |flow_y| <= halo."""
+    from ..ops import spatial_ctx, warp_pallas
+
+    pad = ((0, 0), (halo, halo), (0, 0), (0, 0))
+
+    def local(x_l, fx_l, fy_l, m_l):
+        x_pad = _padded_strip(x_l, halo, axis)
+        fx_p = jnp.pad(fx_l, pad, mode="edge")
+        fy_p = jnp.pad(fy_l, pad, mode="edge")
+        m_p = jnp.pad(m_l, pad, mode="edge")
+        with spatial_ctx.cleared():
+            out = warp_pallas.grouped_warp_auto(x_pad, fx_p, fy_p, m_p,
+                                                group_num)
+        return out[:, halo:-halo]
+
+    spec = PS(None, axis, None, None)
+    return _shard_map_norep(local, mesh, (spec,) * 4,
+                            spec)(x, flow_x, flow_y, mask)
+
+
 def grouped_warp_spatial(x, flow_x, flow_y, mask, group_num: int,
                          mesh: Mesh, halo: int, axis: str = "h"):
     """OffsetDiversity's grouped warp (`ops/warp.py:grouped_warp_lowmem`
@@ -205,13 +312,5 @@ def grouped_warp_spatial(x, flow_x, flow_y, mask, group_num: int,
         return out[:, halo:-halo]
 
     spec = PS(None, axis, None, None)
-    # check_vma off: the fori_loop carry inside grouped_warp_lowmem is
-    # created in the body (unvarying) and updated with shard-varying rows,
-    # which the static varying-axes checker rejects despite being correct
-    try:
-        sm = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
-                       out_specs=spec, check_vma=False)
-    except TypeError:  # older jax spells it check_rep
-        sm = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
-                       out_specs=spec, check_rep=False)
-    return sm(x, flow_x, flow_y, mask)
+    return _shard_map_norep(local, mesh, (spec,) * 4,
+                            spec)(x, flow_x, flow_y, mask)

@@ -85,6 +85,84 @@ def test_grouped_warp_spatial_matches_global(rng):
                                rtol=1e-4, atol=5e-5)
 
 
+def test_sharded_auto_dispatch_matches_global(rng):
+    """The tiered-dispatch shard wrappers (pad-call-crop around
+    flow_warp_auto / grouped_warp_auto) match the global ops, including
+    the all-gather deep-halo path when halo >= rows-per-shard."""
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.parallel.spatial import (
+        flow_warp_sharded_auto,
+        grouped_warp_sharded_auto,
+    )
+
+    mesh = make_spatial_mesh(8)
+    x, flow = _rand_case(rng)  # h=64 -> 8 rows/shard
+    ref = flow_warp(x, flow)
+    # ppermute path (halo 4 < 8) and all-gather path (halo 16 >= 8)
+    for halo in (4, 16):
+        out = flow_warp_sharded_auto(x, flow, mesh, halo=halo)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=5e-5, err_msg=str(halo))
+    # fmax-provided variant (replicated scalar operand)
+    out = flow_warp_sharded_auto(x, flow, mesh, halo=4,
+                                 fmax=jnp.float32(3.6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+    b, h, w, g, go, cg = 1, 64, 32, 4, 8, 3
+    xg = jnp.asarray(rng.standard_normal((b, h, w, g * cg)),
+                     dtype=jnp.float32)
+    fx = jnp.asarray(rng.uniform(-9, 9, (b, h, w, go)), dtype=jnp.float32)
+    fy = jnp.asarray(rng.uniform(-3.5, 3.5, (b, h, w, go)),
+                     dtype=jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, go)), dtype=jnp.float32)
+    refg = grouped_warp_lowmem(xg, fx, fy, mask, g)
+    for halo in (4, 16):
+        outg = grouped_warp_sharded_auto(xg, fx, fy, mask, g, mesh,
+                                         halo=halo)
+        np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                                   rtol=1e-4, atol=5e-5, err_msg=str(halo))
+
+
+@pytest.mark.slow
+def test_spatial_forward_kernel_warps_matches_unsharded():
+    """kernel_warps mode (shard_map halo warps at every model call site)
+    == unsharded forward on the CPU mesh."""
+    from lssvc_tpu.models import lssvc as lssvc_model
+    from lssvc_tpu.models.init import init_lssvc
+
+    mesh = make_spatial_mesh(4)
+    params = init_lssvc(0)
+    el_hw, bl_hw = (128, 128), (64, 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x_bl = jax.random.uniform(ks[0], (1, *bl_hw, 3))
+    x_el = jax.random.uniform(ks[1], (1, *el_hw, 3))
+    dpb = {
+        "ref_frame_bl": jax.random.uniform(ks[2], (1, *bl_hw, 3)),
+        "ref_frame_el": jax.random.uniform(ks[3], (1, *el_hw, 3)),
+        "ref_feature_bl": jax.random.uniform(ks[4], (1, *bl_hw, 64)),
+        "ref_feature_el": jax.random.uniform(ks[5], (1, *el_hw, 48)),
+    }
+
+    # generous halos: random-init flows are small but OffsetDiversity
+    # offsets saturate 40*tanh; deep halos take the all-gather path on
+    # these short test frames, which is exact for any |flow_y| <= halo
+    fwd = make_spatial_forward(mesh, el_hw, 2.0, (0, 0, 0, 0),
+                               kernel_warps=True, halo=16, halo_grouped=44)
+    dpb_sh, bits_sh = fwd(params, x_bl, x_el, dpb)
+
+    ref = lssvc_model.forward_one_frame(
+        params, x_bl, x_el, dpb["ref_frame_bl"], dpb["ref_frame_el"],
+        dpb["ref_feature_bl"], dpb["ref_feature_el"],
+        el_hw, 2.0, (0, 0, 0, 0))
+    for k in dpb:
+        np.testing.assert_allclose(np.asarray(dpb_sh[k]),
+                                   np.asarray(ref["dpb"][k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
+    bits_ref = ref["bit_bl"] + ref["bit_el"]
+    assert abs(float(bits_sh) - float(bits_ref)) / max(float(bits_ref), 1.0) < 1e-3
+
+
 @pytest.mark.slow
 def test_spatial_forward_matches_unsharded():
     """H-sharded two-layer forward == unsharded forward (GSPMD halo
