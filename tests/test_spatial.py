@@ -201,6 +201,18 @@ def test_spatial_forward_matches_unsharded():
                                    rtol=1e-3, atol=1e-3, err_msg=k)
     assert abs(float(bits_sh) - float(bits_ref)) / max(float(bits_ref), 1.0) < 1e-3
 
-    # the DPB output sharding feeds back without resharding
+    # the DPB output sharding feeds back without resharding: chain a
+    # second frame and compare against the unsharded two-frame chain
     assert dpb_sh["ref_frame_el"].sharding.is_equivalent_to(
         h_sharding(mesh), ndim=4)
+    dpb_sh2, bits_sh2 = fwd(params, x_bl, x_el, dpb_sh)
+    ref2 = lssvc_model.forward_one_frame(
+        params, x_bl, x_el, ref["dpb"]["ref_frame_bl"],
+        ref["dpb"]["ref_frame_el"], ref["dpb"]["ref_feature_bl"],
+        ref["dpb"]["ref_feature_el"], el_hw, 2.0, (0, 0, 0, 0))
+    # scale-aware: untrained recons are chaotic with ~1e3 magnitudes, and
+    # frame-1's 1e-3-scale reduction-order drift amplifies through frame 2
+    r2 = np.asarray(ref2["dpb"]["ref_frame_el"])
+    np.testing.assert_allclose(
+        np.asarray(dpb_sh2["ref_frame_el"]), r2,
+        rtol=0, atol=5e-3 * np.abs(r2).max())
