@@ -198,6 +198,11 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
     # 0.844 on a cache-hit rerun) — re-measure until two consecutive
     # readings agree within 10%, report the best.
     run_chain(1)  # compile + warm
+    if "--profile" in sys.argv:  # capture a trace of one steady chain
+        trace_dir = sys.argv[sys.argv.index("--profile") + 1]
+        with jax.profiler.trace(trace_dir):
+            run_chain(min(k, 3))
+        print(f"# profile trace -> {trace_dir}", file=sys.stderr)
     best = measure()
     for _ in range(3):
         dt = measure()

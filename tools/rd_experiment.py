@@ -24,6 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lssvc_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()  # honor JAX_PLATFORMS=cpu for the in-process eval
+                         # (training subprocesses pin themselves)
+
 import numpy as np
 
 
