@@ -106,7 +106,7 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
     if ckpt:
         from lssvc_tpu.checkpoint import load_params
 
-        params = load_params(ckpt)
+        params, _ = load_params(ckpt)
     else:
         params = init_lssvc(0)
     bl_hw = (el_hw[0] // 2, el_hw[1] // 2)

@@ -80,7 +80,7 @@ def _quantize_i(y, means):
 def encode_device(params, x, ref_frame, ref_feature):
     """All device work for one BL frame, closed-loop staged (see module
     docstring).  Returns (planes, dpb); nothing crosses to the host."""
-    from ..utils.checks import assert_finite
+    from ..utils.checks import finite_flags
 
     mv_y, mv_z_i, mv_ok = _enc_mv_analysis(params, x, ref_frame)
     mv_idx, mv_means = _dec_stage_mv_prior(params, _f32(mv_z_i))
@@ -90,11 +90,13 @@ def encode_device(params, x, ref_frame, ref_feature):
     y, z_i, y_ok = _enc_res_analysis(params, x, c1, c2, c3)
     y_idx, y_means = _dec_stage_y_prior(params, _f32(z_i), c1, c2, c3)
     y_q_i = _quantize_i(y, y_means)
-    assert_finite("DMC BL encode", mv_analysis=mv_ok, mv_means=mv_means,
-                  res_analysis=y_ok, y_means=y_means)
     recon, feature, y_hat = _dec_stage_recon(params, _f32(y_q_i), y_means,
                                              c1, c2, c3)
     planes = {
+        # device bool scalars, checked host-side in write_planes — a
+        # blocking assert here would stall dispatch of the recon stages
+        "finite": finite_flags(mv_analysis=mv_ok, mv_means=mv_means,
+                               res_analysis=y_ok, y_means=y_means),
         "mv_z_hat": mv_z_i,
         "mv_y_q": mv_y_q_i,
         "mv_idx": mv_idx,
@@ -115,6 +117,10 @@ def encode_device(params, x, ref_frame, ref_feature):
 def write_planes(coder, planes):
     """Host half: rANS-encode one BL frame's planes (order per
     dmc_net_extend.py:87-92).  Blocks on device values via np.asarray."""
+    from ..utils.checks import raise_if_nonfinite
+
+    if "finite" in planes:
+        raise_if_nonfinite("DMC BL encode", planes["finite"])
     coder.reset_encoder()
     coder.encode_factorized(np.asarray(planes["mv_z_hat"]), coder.z_mv_table)
     coder.encode_gaussian(np.asarray(planes["mv_y_q"]),

@@ -111,7 +111,7 @@ def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
     (planes, dpb); the DPB is bit-identical to the decoder's."""
     mv_ctx, mv_ctx_prior = _dec_mv_setup_jit(params, mv_bl_hat, shape_hr,
                                              scale_factor)
-    from ..utils.checks import assert_finite
+    from ..utils.checks import finite_flags
 
     mv_y, mv_z_i, mv_ok = _enc_mv_analysis(params, x_el, ref_el, mv_ctx)
     mv_idx, mv_means = _dec_mv_prior(params, _f32(mv_z_i), mv_ctx_prior)
@@ -121,8 +121,10 @@ def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
         feature_el, shape_hr)
     y, z_i, y_ok = _enc_res_analysis(params, x_el, c1, c2, c3)
     common = _dec_common_params_jit(params, _f32(z_i), c3, y_bl_hat, shape_hr)
-    assert_finite("LSSVC EL encode", mv_analysis=mv_ok, mv_means=mv_means,
-                  res_analysis=y_ok, common_params=common)
+    # device bool scalars, checked host-side in write_planes — a blocking
+    # assert here would stall dispatch of the four-part-prior passes
+    finite = finite_flags(mv_analysis=mv_ok, mv_means=mv_means,
+                          res_analysis=y_ok, common_params=common)
 
     half = common.shape[-1] // 2
     means_4 = jnp.stack(jnp.split(common[..., half:], 4, axis=-1))
@@ -138,6 +140,7 @@ def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
     recon_el, feature = _dec_recon(params, y_hat, c1, c2, c3)
 
     planes = {
+        "finite": finite,
         "mv_z_hat": mv_z_i,
         "mv_y_q": mv_y_q_i,
         "mv_idx": mv_idx,
@@ -157,6 +160,10 @@ def encode_device(params, x_el, ref_el, feature_el, texture, mv_bl_hat,
 def write_planes(coder, planes):
     """Host half: rANS-encode one EL frame's planes (order per
     LSSVC_net_extend.py:66-74)."""
+    from ..utils.checks import raise_if_nonfinite
+
+    if "finite" in planes:
+        raise_if_nonfinite("LSSVC EL encode", planes["finite"])
     coder.reset_encoder()
     coder.encode_factorized(np.asarray(planes["mv_z_hat"]), coder.z_mv_table)
     coder.encode_gaussian(np.asarray(planes["mv_y_q"]),

@@ -1154,7 +1154,12 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
                                          spatial_ctx.AXIS)
     from .warp import flow_warp_grouped, grouped_warp_lowmem
 
-    x = x.astype(jnp.float32)
+    # bf16 sources stay bf16 through the tiny tier's boundary relayouts
+    # (mirrors flow_warp_auto; the cblock kernel accumulates in f32 and
+    # emits dt) — a force-cast to f32 here would make the kernel's bf16
+    # boundary path dead code from this, its only production caller
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    x = x.astype(dt)
     flow_x = flow_x.astype(jnp.float32)
     flow_y = flow_y.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
@@ -1167,14 +1172,16 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         planes = [x_[..., k::cg] for k in range(cg)]
         x_blk = jnp.concatenate([p for plane in planes
                                  for p in (plane,) * offset_num], axis=-1)
-        warped = flow_warp_grouped(x_blk, fx_, fy_)
+        warped = flow_warp_grouped(x_blk.astype(jnp.float32), fx_, fy_)
         return warped * jnp.concatenate([m_] * cg, axis=-1)
 
     def slow(operands):
         # low-peak-memory per-unit scan: this branch's buffers are reserved
-        # even when the pallas branch runs (see flow_warp_auto)
+        # even when the pallas branch runs (see flow_warp_auto); f32
+        # internally, cast back so every cond branch returns dt
         x_, fx_, fy_, m_ = operands
-        return grouped_warp_lowmem(x_, fx_, fy_, m_, group_num)
+        return grouped_warp_lowmem(x_.astype(jnp.float32), fx_, fy_, m_,
+                                   group_num).astype(dt)
 
     if _DIFFERENTIABLE or jax.default_backend() != "tpu":
         return _slow_eager((x, flow_x, flow_y, mask))
@@ -1186,7 +1193,8 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
 
     def fast(operands):
         x_, fx_, fy_, m_ = operands
-        return _grouped_warp_pallas(x_, fx_, fy_, m_, d_v, d_h, group_num)
+        return _grouped_warp_pallas(x_.astype(jnp.float32), fx_, fy_, m_,
+                                    d_v, d_h, group_num).astype(dt)
 
     def windowed_or_gather(operands):
         return jax.lax.cond(in_bounds, fast, slow, operands)

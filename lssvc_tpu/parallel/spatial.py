@@ -233,32 +233,58 @@ def flow_warp_sharded_auto(x, flow, mesh: Mesh, halo: int, axis: str = "h",
     """H-sharded warp that runs the normal tiered dispatch PER SHARD —
     on TPU each shard executes the Pallas kernels on its neighbour-padded
     strip (the GSPMD-partitioned gather alternative lowers to scalar
-    loops).  Exact vs the global warp whenever every |flow_y| <= halo
-    (each tier's own bounds still apply within the strip; the XLA
-    fallback tier clamps at the strip, which equals the global clamp
-    under the same precondition)."""
+    loops).
+
+    Correct for ANY flow: when the measured global max |flow_y| exceeds
+    `halo` (checked at runtime; a caller-provided `fmax` bound is used
+    instead when given), a lax.cond falls back to an exact branch that
+    all-gathers the frame and warps this shard's rows against it with the
+    low-memory sequential-tap formulation (lax.cond reserves HBM for both
+    branches, so the rare branch must stay small — docs/PERFORMANCE.md
+    §batch-of-sequences)."""
     from ..ops import spatial_ctx, warp_pallas
+    from ..ops.warp import flow_warp_lowmem
 
     pad = ((0, 0), (halo, halo), (0, 0), (0, 0))
     spec = PS(None, axis, None, None)
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    if fmax is None:
-
-        def local(x_l, flow_l):
-            x_pad = _padded_strip(x_l, halo, axis)
-            flow_pad = jnp.pad(flow_l, pad, mode="edge")
-            with spatial_ctx.cleared():
-                out = warp_pallas.flow_warp_auto(x_pad, flow_pad)
-            return out[:, halo:-halo]
-
-        return _shard_map_norep(local, mesh, (spec, spec), spec)(x, flow)
-
-    def local_f(x_l, flow_l, fmax_s):
+    def _strip(ops, fmax_s=None):
+        x_l, flow_l = ops
         x_pad = _padded_strip(x_l, halo, axis)
         flow_pad = jnp.pad(flow_l, pad, mode="edge")
         with spatial_ctx.cleared():
-            out = warp_pallas.flow_warp_auto(x_pad, flow_pad, fmax=fmax_s)
-        return out[:, halo:-halo]
+            if fmax_s is None:
+                out = warp_pallas.flow_warp_auto(x_pad, flow_pad)
+            else:
+                out = warp_pallas.flow_warp_auto(x_pad, flow_pad,
+                                                 fmax=fmax_s)
+        return out[:, halo:-halo].astype(dt)
+
+    def _exact(ops):
+        # all-gather + low-memory global warp of this shard's rows
+        x_l, flow_l = ops
+        hl = x_l.shape[1]
+        full = jax.lax.all_gather(x_l, axis, axis=1, tiled=True)
+        full_f = jax.lax.all_gather(flow_l, axis, axis=1, tiled=True)
+        out_full = flow_warp_lowmem(full.astype(jnp.float32), full_f)
+        row0 = jax.lax.axis_index(axis) * hl
+        return jax.lax.dynamic_slice_in_dim(out_full, row0, hl,
+                                            axis=1).astype(dt)
+
+    if fmax is None:
+        def local_nomax(x_l, flow_l):
+            fy_max = jax.lax.pmax(jnp.max(jnp.abs(flow_l[..., 1])), axis)
+            return jax.lax.cond(fy_max <= halo, _strip, _exact,
+                                (x_l, flow_l))
+
+        return _shard_map_norep(local_nomax, mesh, (spec, spec),
+                                spec)(x, flow)
+
+    def local_f(x_l, flow_l, fmax_s):
+        return jax.lax.cond(
+            fmax_s <= halo,
+            lambda ops: _strip(ops, fmax_s), _exact, (x_l, flow_l))
 
     return _shard_map_norep(local_f, mesh, (spec, spec, PS()),
                             spec)(x, flow, jnp.asarray(fmax, jnp.float32))
@@ -267,12 +293,17 @@ def flow_warp_sharded_auto(x, flow, mesh: Mesh, halo: int, axis: str = "h",
 def grouped_warp_sharded_auto(x, flow_x, flow_y, mask, group_num: int,
                               mesh: Mesh, halo: int, axis: str = "h"):
     """Grouped (OffsetDiversity) tiered warp per shard; see
-    `flow_warp_sharded_auto`.  Exact whenever every |flow_y| <= halo."""
+    `flow_warp_sharded_auto`.  Runtime-guarded like the single-flow
+    wrapper: |flow_y| beyond `halo` takes an exact all-gather +
+    low-memory grouped warp branch instead of silently clamping."""
     from ..ops import spatial_ctx, warp_pallas
+    from ..ops.warp import grouped_warp_lowmem
 
     pad = ((0, 0), (halo, halo), (0, 0), (0, 0))
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    def local(x_l, fx_l, fy_l, m_l):
+    def _strip(ops):
+        x_l, fx_l, fy_l, m_l = ops
         x_pad = _padded_strip(x_l, halo, axis)
         fx_p = jnp.pad(fx_l, pad, mode="edge")
         fy_p = jnp.pad(fy_l, pad, mode="edge")
@@ -280,7 +311,23 @@ def grouped_warp_sharded_auto(x, flow_x, flow_y, mask, group_num: int,
         with spatial_ctx.cleared():
             out = warp_pallas.grouped_warp_auto(x_pad, fx_p, fy_p, m_p,
                                                 group_num)
-        return out[:, halo:-halo]
+        return out[:, halo:-halo].astype(dt)
+
+    def _exact(ops):
+        x_l, fx_l, fy_l, m_l = ops
+        hl = x_l.shape[1]
+        ga = lambda t: jax.lax.all_gather(t, axis, axis=1, tiled=True)
+        out_full = grouped_warp_lowmem(ga(x_l).astype(jnp.float32),
+                                       ga(fx_l), ga(fy_l), ga(m_l),
+                                       group_num)
+        row0 = jax.lax.axis_index(axis) * hl
+        return jax.lax.dynamic_slice_in_dim(out_full, row0, hl,
+                                            axis=1).astype(dt)
+
+    def local(x_l, fx_l, fy_l, m_l):
+        fy_max = jax.lax.pmax(jnp.max(jnp.abs(fy_l)), axis)
+        return jax.lax.cond(fy_max <= halo, _strip, _exact,
+                            (x_l, fx_l, fy_l, m_l))
 
     spec = PS(None, axis, None, None)
     return _shard_map_norep(local, mesh, (spec,) * 4,

@@ -71,12 +71,16 @@ def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
             params, x_bl[:, i], x_el[:, i], dpb["ref_frame_bl"],
             dpb["ref_frame_el"], dpb["ref_feature_bl"],
             dpb["ref_feature_el"], shape_hr, scale_factor, pad_size)
-        dpb = out["dpb"]
-        # clamp the fed-back frames like the eval harness does
-        dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
-        dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+        # distortion on the RAW recon (matching rd_loss); clamping before
+        # the MSE would zero the gradient for every out-of-range pixel —
+        # dict() copy: out["dpb"] aliases dpb and an in-place clip would
+        # silently feed the clipped recon into the loss
         mse_el = jnp.mean(jnp.square(out["dpb"]["ref_frame_el"] - x_el[:, i]))
         mse_bl = jnp.mean(jnp.square(out["dpb"]["ref_frame_bl"] - x_bl[:, i]))
+        dpb = dict(out["dpb"])
+        # clamp only the fed-back frames, like the eval harness does
+        dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+        dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
         bpp = out["bit_el"] / n_el + out["bit_bl"] / n_bl
         total = total + lmbda * (255.0 ** 2) * (mse_el + mse_bl) + bpp
         bpp_acc += bpp

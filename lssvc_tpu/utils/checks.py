@@ -22,13 +22,34 @@ _flags_jit = None
 
 def assert_finite(what: str, **tensors) -> None:
     """Raise FloatingPointError naming the offending planes if any device
-    tensor contains NaN/Inf.  Single jitted reduction, one host sync."""
+    tensor contains NaN/Inf.  Single jitted reduction, one host sync.
+
+    NOTE: this BLOCKS the dispatching thread until the inputs have
+    executed.  On the async stream-encode path use `finite_flags` (device,
+    non-blocking) + `raise_if_nonfinite` (host worker, where np.asarray
+    already blocks) instead."""
+    flags = finite_flags(**tensors)
+    raise_if_nonfinite(what, flags)
+
+
+def finite_flags(**tensors):
+    """Dict of device bool scalars, one fused jitted reduction, NO host
+    sync — safe to compute mid-frame on the dispatch thread and ship to
+    the host worker alongside the symbol planes."""
     global _flags_jit
     import jax
 
     if _flags_jit is None:
         _flags_jit = jax.jit(_flags)
-    flags = jax.device_get(_flags_jit(dict(tensors)))
+    return _flags_jit(dict(tensors))
+
+
+def raise_if_nonfinite(what: str, flags) -> None:
+    """Host half: blocks on the flag scalars (tiny) and raises naming the
+    offending planes."""
+    import jax
+
+    flags = jax.device_get(flags)
     bad = sorted(k for k, ok in flags.items() if not ok)
     if bad:
         raise FloatingPointError(

@@ -124,6 +124,40 @@ def test_sharded_auto_dispatch_matches_global(rng):
                                    rtol=1e-4, atol=5e-5, err_msg=str(halo))
 
 
+def test_sharded_auto_over_halo_exact_fallback(rng):
+    """|flow_y| beyond the halo must take the exact all-gather branch,
+    not silently clamp at the strip edges."""
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.parallel.spatial import (
+        flow_warp_sharded_auto,
+        grouped_warp_sharded_auto,
+    )
+
+    mesh = make_spatial_mesh(8)
+    x, flow = _rand_case(rng, fy_max=20.0)  # far beyond halo=4
+    ref = flow_warp(x, flow)
+    out = flow_warp_sharded_auto(x, flow, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+    # fmax-provided variant routes on the bound, not a fresh reduction
+    out = flow_warp_sharded_auto(x, flow, mesh, halo=4,
+                                 fmax=jnp.float32(20.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5)
+
+    b, h, w, g, go, cg = 1, 64, 32, 4, 8, 3
+    xg = jnp.asarray(rng.standard_normal((b, h, w, g * cg)),
+                     dtype=jnp.float32)
+    fx = jnp.asarray(rng.uniform(-9, 9, (b, h, w, go)), dtype=jnp.float32)
+    fy = jnp.asarray(rng.uniform(-25, 25, (b, h, w, go)),
+                     dtype=jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, go)), dtype=jnp.float32)
+    refg = grouped_warp_lowmem(xg, fx, fy, mask, g)
+    outg = grouped_warp_sharded_auto(xg, fx, fy, mask, g, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               rtol=1e-4, atol=5e-5)
+
+
 @pytest.mark.slow
 def test_spatial_forward_kernel_warps_matches_unsharded():
     """kernel_warps mode (shard_map halo warps at every model call site)

@@ -145,12 +145,19 @@ def train_models(args, lmbda, out_dir):
 def evaluate(args, ckpts, yuv_dir, mode, out_dir):
     """Run the evaluation harness (write_stream) for every rate point in
     one precision mode; returns the FL RD points [(bpp, psnr), ...]."""
+    import jax
+
     from lssvc_tpu.harness.results import filter_dict
     from lssvc_tpu.ops import set_precision_mode
     from lssvc_tpu.parallel import scheduler
 
     set_precision_mode(mode)
     scheduler._MODEL_CACHE.clear()
+    # precision mode is a trace-time global, NOT part of jit cache keys;
+    # the module-level stage jits would otherwise serve the FIRST mode's
+    # executables to the second mode (identical avals), making the
+    # bf16-vs-fp32 delta spuriously zero
+    jax.clear_caches()
     size = args.eval_size
     points = []
     logs = {"BL": {"SYN": {"eval": {}}}, "EL": {"SYN": {"eval": {}}},
