@@ -30,35 +30,11 @@ import numpy as np
 H, W = 1152, 1920
 
 
-def stable_measure(run_chain, k):
-    def measure():
-        t0 = time.time(); run_chain(1); t1 = time.time() - t0
-        t0 = time.time(); run_chain(1 + k); tm = time.time() - t0
-        return (tm - t1) / k
-
-    run_chain(1)
-    best = measure()
-    for _ in range(4):
-        dt = measure()
-        stable = abs(dt - best) <= 0.1 * min(dt, best)
-        best = min(best, dt)
-        if stable:
-            break
-    return best
+from tools.measure import bench_step as _bench_step
 
 
 def bench_step(name, step, x0, k):
-    def run_chain(n):
-        y = x0
-        eps = jnp.zeros((), dtype=x0.dtype)
-        for _ in range(n):
-            y = step(x0 + eps)
-            eps = 0.0 * jnp.sum(y[0, 0, 0, :1]).astype(x0.dtype)
-        return float(np.asarray(eps))
-
-    dt = stable_measure(run_chain, k)
-    print(f"{name:52s} {dt * 1e3:9.2f} ms", flush=True)
-    return dt
+    return _bench_step(name, step, x0, k, width=52)
 
 
 def main():
