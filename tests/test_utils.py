@@ -139,3 +139,27 @@ def test_stream_container_roundtrip(tmp_path):
 def test_get_downsampled_shape():
     assert get_downsampled_shape(1080, 1920, 64) == (17, 30)
     assert get_downsampled_shape(1152, 1920, 64) == (18, 30)
+
+
+def test_finite_guards_raise_on_nan():
+    """Stream-path NaN refusal: device flags (async) + host raise name the
+    offending plane; clean tensors pass silently."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lssvc_tpu.utils.checks import (
+        assert_finite,
+        assert_finite_np,
+        finite_flags,
+        raise_if_nonfinite,
+    )
+
+    flags = finite_flags(good=jnp.ones(4), bad=jnp.array([1.0, jnp.nan]))
+    with pytest.raises(FloatingPointError, match="bad"):
+        raise_if_nonfinite("unit", flags)
+    raise_if_nonfinite("unit", finite_flags(good=jnp.ones(2)))
+
+    with pytest.raises(FloatingPointError, match="x"):
+        assert_finite("unit", x=jnp.array([jnp.inf]))
+    with pytest.raises(FloatingPointError, match="y"):
+        assert_finite_np("unit", y=np.array([np.nan]))
