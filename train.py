@@ -168,6 +168,14 @@ def main():
 
     pin_platform_from_env()
 
+    # persistent compile cache: the staged RD recipe launches train.py once
+    # per (stage, lambda); without the cache every invocation recompiles
+    # its train-step graph from scratch (~7 min fixed overhead per
+    # invocation on the tunneled chip, ~1 h on CPU)
+    from lssvc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import optax
