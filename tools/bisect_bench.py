@@ -196,24 +196,9 @@ def run(variant):
             dpb, bits = step(params, x_bl, x_el, dpb, bits)
         return float(np.asarray(bits))
 
-    def measure():
-        t0 = time.time()
-        chain(1)
-        t1 = time.time() - t0
-        t0 = time.time()
-        chain(1 + K)
-        return (time.time() - t0 - t1) / K
+    from tools.measure import stable_measure
 
-    # post-compile readings are 10-30x garbage (docs/PERFORMANCE.md) —
-    # re-measure until two consecutive readings agree within 10%
-    chain(1)
-    best = measure()
-    for _ in range(4):
-        dt = measure()
-        stable = abs(dt - best) <= 0.1 * min(dt, best)
-        best = min(best, dt)
-        if stable:
-            break
+    best = stable_measure(chain, K)
     print(f"{variant:22s} {best * 1000:10.0f} ms/frame", flush=True)
 
 
