@@ -49,6 +49,13 @@ def parse_args():
                    help="2 lambdas, few steps — smoke run")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--modes", nargs="+", default=["fp32", "bf16"])
+    p.add_argument("--stages", choices=["staged", "full"], default="staged",
+                   help="'full' = single-stage video training (one compiled "
+                        "graph instead of three; the CPU-fallback config)")
+    p.add_argument("--estimated", action="store_true",
+                   help="evaluate with estimated bpp instead of real "
+                        "bitstreams (cheaper compiles; reference README "
+                        "asserts estimated ~= real rates)")
     return p.parse_args()
 
 
@@ -85,8 +92,9 @@ def train_models(args, lmbda, out_dir):
     tag = f"l{lmbda:g}".replace(".", "p")
     intra_ckpt = os.path.join(out_dir, f"intra_{tag}_step{args.steps_intra}.npz")
     video_final_steps = args.steps_video
+    final_stage = "cascade" if args.stages == "staged" else "full"
     video_ckpt = os.path.join(
-        out_dir, f"video_{tag}_cascade_step{video_final_steps}.npz")
+        out_dir, f"video_{tag}_{final_stage}_step{video_final_steps}.npz")
     py = sys.executable
     train = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "train.py")
@@ -114,7 +122,15 @@ def train_models(args, lmbda, out_dir):
              "--out", os.path.join(out_dir, f"intra_{tag}"),
              "--save-every", str(args.steps_intra),
              "--lr-decay-steps", str(args.steps_intra)])
-    if not os.path.exists(video_ckpt):
+    if not os.path.exists(video_ckpt) and args.stages == "full":
+        # single-stage fallback: one compiled train graph total
+        run([py, train, "--stage", "full", "--steps", str(video_final_steps),
+             "--lmbda", str(lmbda), "--crop", str(args.crop),
+             "--batch-per-device", str(args.batch),
+             "--out", os.path.join(out_dir, f"video_{tag}_full"),
+             "--save-every", str(video_final_steps),
+             "--lr-decay-steps", str(video_final_steps)])
+    elif not os.path.exists(video_ckpt):
         # stage 1: MV subnets (freeze everything else), short
         s1 = max(args.steps_video // 4, 1)
         run([py, train, "--stage", "mv", "--steps", str(s1),
@@ -166,7 +182,7 @@ def evaluate(args, ckpts, yuv_dir, mode, out_dir):
         task = {
             "i_frame_model_path": intra_ckpt,
             "video_model_path": video_ckpt,
-            "write_stream": True,
+            "write_stream": not args.estimated,
             "dataset_path": yuv_dir,
             "video_path": "eval",
             "ds_name": "SYN",
@@ -215,11 +231,12 @@ def main():
     for lmbda in args.lambdas:
         if args.eval_only:
             tag = f"l{lmbda:g}".replace(".", "p")
+            stage = "cascade" if args.stages == "staged" else "full"
             ckpts[lmbda] = (
                 os.path.join(out_dir,
                              f"intra_{tag}_step{args.steps_intra}.npz"),
                 os.path.join(out_dir,
-                             f"video_{tag}_cascade_step{args.steps_video}.npz"))
+                             f"video_{tag}_{stage}_step{args.steps_video}.npz"))
         else:
             t0 = time.time()
             ckpts[lmbda] = train_models(args, lmbda, out_dir)
