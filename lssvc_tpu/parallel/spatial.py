@@ -102,6 +102,29 @@ def make_spatial_forward(mesh: Mesh, shape_hr, scale_factor: float = 2.0,
                    out_shardings=(dpb_sh, repl))
 
 
+def make_spatial_intra_forward(mesh: Mesh, shape_hr, pad_size=(0, 0, 0, 0),
+                               axis: str = "h"):
+    """H-sharded IntraSS two-layer I-frame forward.
+
+    The intra path is warp-free (convs, GDN, resizes, bit sums), so GSPMD
+    partitions everything from the jit sharding annotations alone.
+    Returns fn(params, x_bl, x_el) -> (x_hat_el H-sharded, bit_bl+bit_el).
+    Serving a GOP spatially = this for I-frames + `make_spatial_forward`
+    for P-frames (the DPB stays H-sharded across both).
+    """
+    from ..models import intra_ss
+
+    h_sh = h_sharding(mesh, axis)
+    repl = NamedSharding(mesh, PS())
+
+    def fwd(params, x_bl, x_el):
+        out = intra_ss.forward(params, x_bl, x_el, shape_hr, pad_size)
+        return out["x_hat_el"], out["bit_bl"] + out["bit_el"]
+
+    return jax.jit(fwd, in_shardings=(repl, h_sh, h_sh),
+                   out_shardings=(h_sh, repl))
+
+
 # --- explicit halo-exchange warp (shard_map) --------------------------------
 
 

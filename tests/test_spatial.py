@@ -250,3 +250,29 @@ def test_spatial_forward_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(dpb_sh2["ref_frame_el"]), r2,
         rtol=0, atol=5e-3 * np.abs(r2).max())
+
+
+@pytest.mark.slow
+def test_spatial_intra_forward_matches_unsharded():
+    """H-sharded IntraSS I-frame forward == unsharded (warp-free path:
+    GSPMD conv halos only)."""
+    from lssvc_tpu.models import intra_ss
+    from lssvc_tpu.models.init import init_intra_ss
+    from lssvc_tpu.parallel.spatial import make_spatial_intra_forward
+
+    mesh = make_spatial_mesh(4)
+    params = init_intra_ss(seed=0)
+    el_hw, bl_hw = (128, 128), (64, 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x_bl = jax.random.uniform(ks[0], (1, *bl_hw, 3))
+    x_el = jax.random.uniform(ks[1], (1, *el_hw, 3))
+
+    fwd = make_spatial_intra_forward(mesh, el_hw)
+    xh_sh, bits_sh = fwd(params, x_bl, x_el)
+
+    ref = intra_ss.forward(params, x_bl, x_el, el_hw, (0, 0, 0, 0))
+    r = np.asarray(ref["x_hat_el"])
+    np.testing.assert_allclose(np.asarray(xh_sh), r, rtol=0,
+                               atol=max(1e-3, 1e-3 * np.abs(r).max()))
+    bits_ref = float(ref["bit_bl"] + ref["bit_el"])
+    assert abs(float(bits_sh) - bits_ref) / max(bits_ref, 1.0) < 1e-3
