@@ -95,7 +95,14 @@ def build_bit_estimator_table(params, prefix: str) -> CdfTable:
     lower = F(samples - 0.5)
     upper = F(samples + 0.5)
     pmf = upper - lower
-    tail_mass = lower[:, 0] + (1.0 - upper[np.arange(channels), pmf_length - 1])
+    # tail upper bound at the GLOBAL last sample column (max_length-1) for
+    # every channel — matching `video_entropy_models.py:219`
+    # `tail_mass = lower[:, 0, :1] + (1.0 - upper[:, 0, -1:])` exactly.
+    # Evaluating at the per-channel support end (pmf_length-1) looks more
+    # principled but produces different escape frequencies for channels
+    # narrower than the widest one, breaking cross-implementation stream
+    # interop (bit-exact CDF tables are the contract).
+    tail_mass = lower[:, 0] + (1.0 - upper[:, -1])
     rows = _rows_from_pmfs(pmf, tail_mass, pmf_length)
     return CdfTable(rows, pmf_length, offset)
 
@@ -177,8 +184,10 @@ def build_entropy_bottleneck_table(params, prefix: str,
         return 1.0 / (1.0 + np.exp(-v))
 
     pmf = np.abs(sigmoid(sign * upper) - sigmoid(sign * lower))
-    tail_mass = sigmoid(lower[:, 0]) + sigmoid(-upper[np.arange(len(pmf)),
-                                                      pmf_length - 1])
+    # global last sample column, matching `img_entropy_models.py:472`
+    # `sigmoid(lower[:, 0, :1]) + sigmoid(-upper[:, 0, -1:])` (see
+    # build_bit_estimator_table for why the per-channel index is wrong)
+    tail_mass = sigmoid(lower[:, 0]) + sigmoid(-upper[:, -1])
     rows = _rows_from_pmfs(pmf, tail_mass, pmf_length)
     return CdfTable(rows, pmf_length, -minima)
 

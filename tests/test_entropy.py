@@ -19,6 +19,7 @@ from lssvc_tpu.entropy.models import (
     gaussian_conditional_likelihood,
 )
 from lssvc_tpu.entropy.coder import (
+    build_entropy_bottleneck_table,
     build_bit_estimator_table,
     build_laplace_table,
     build_gaussian_conditional_table,
@@ -142,3 +143,111 @@ def test_gaussian_conditional_table_properties():
         row = table.cdfs[i, :table.sizes[i]]
         assert row[0] == 0 and row[-1] == 1 << 16
         assert np.all(np.diff(row) >= 1)
+
+
+# --- golden cross-implementation CDF-table tests ---------------------------
+# The tables must be BIT-EXACT with the reference's update() output or
+# cross-implementation streams desync at the first narrow-support channel
+# (caught late in round 2: the tail mass was evaluated at the per-channel
+# support end instead of the reference's global last sample column).
+
+def _stub_quantize(prob_tensor):
+    from lssvc_tpu.native.rans import pmf_to_quantized_cdf
+
+    q = pmf_to_quantized_cdf(
+        np.asarray(prob_tensor.detach(), dtype=np.float32), 16)
+    return torch.tensor(np.asarray(q), dtype=torch.int32)
+
+
+def test_bit_estimator_table_bit_exact_with_reference_update():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_oracle import import_reference
+
+    import_reference()
+    from src.entropy_models.video_entropy_models import BitEstimator as RefBE
+
+    torch.manual_seed(3)
+    ch = 6
+    ref = RefBE(ch)
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.add_(torch.randn_like(p_) * 0.3)
+
+    class _StubCoder:
+        entropy_coder_precision = 16
+
+        def pmf_to_cdf(self, pmf, tail_mass, pmf_length, max_length):
+            cdf = torch.zeros((len(pmf_length), max_length + 2),
+                              dtype=torch.int32)
+            for i, p_ in enumerate(pmf):
+                prob = torch.cat((p_[: pmf_length[i]], tail_mass[i]), dim=0)
+                q = _stub_quantize(prob)
+                cdf[i, : q.size(0)] = q
+            return cdf
+
+    ref.update(force=True, entropy_coder=_StubCoder())
+    ref_cdf, ref_len, ref_off = ref.cdf_helper.get_cdf_info_list()
+
+    params = {}
+    for layer in ("f1", "f2", "f3", "f4"):
+        mod = getattr(ref, layer)
+        for name in (("h", "b") if layer == "f4" else ("h", "b", "a")):
+            t = getattr(mod, name).detach().numpy()  # (1, C, 1, 1)
+            params[f"be.{layer}.{name}"] = jnp.asarray(
+                t.reshape(1, 1, 1, ch))
+    table = build_bit_estimator_table(params, "be.")
+
+    assert list(np.asarray(table.offsets).reshape(-1)) == ref_off
+    for i in range(ch):
+        assert int(table.sizes[i]) == ref_len[i]
+        assert list(table.cdfs[i][: table.sizes[i]]) == ref_cdf[i][: ref_len[i]], f"ch {i}"
+
+
+def test_entropy_bottleneck_table_bit_exact_with_reference_update():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_oracle import import_reference
+
+    import_reference()
+    import src.entropy_models.img_entropy_models as ref_img
+
+    torch.manual_seed(4)
+    ch = 5
+    # the reference's _EntropyCoder imports the py36-era prebuilt rANS .so;
+    # update() never touches it, so stub the constructor out
+    ref_img._EntropyCoder = lambda *a, **k: None
+    ref = ref_img.EntropyBottleneck(ch)
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.add_(torch.randn_like(p_) * 0.2)
+        # spread the quantiles so per-channel supports differ
+        ref.quantiles[:, 0, 0] = -torch.arange(2.0, 2.0 + ch)
+        ref.quantiles[:, 0, 1] = 0.0
+        ref.quantiles[:, 0, 2] = torch.arange(3.0, 3.0 + ch)
+
+    ref_img.pmf_to_quantized_cdf = lambda prob, precision=16: _stub_quantize(prob)
+    ref.update(force=True)
+    ref_cdf = ref._quantized_cdf.numpy()
+    ref_len = ref._cdf_length.reshape(-1).int().tolist()
+    ref_off = ref._offset.reshape(-1).int().tolist()
+
+    params = {"eb.quantiles": jnp.asarray(ref.quantiles.detach().numpy())}
+    for i in range(5):
+        params[f"eb._matrices.{i}"] = jnp.asarray(
+            ref._matrices[i].detach().numpy())
+        params[f"eb._biases.{i}"] = jnp.asarray(
+            ref._biases[i].detach().numpy())
+        if i < 4:
+            params[f"eb._factors.{i}"] = jnp.asarray(
+                ref._factors[i].detach().numpy())
+    table = build_entropy_bottleneck_table(params, "eb.")
+
+    assert list(np.asarray(table.offsets).reshape(-1)) == ref_off
+    for i in range(ch):
+        assert int(table.sizes[i]) == ref_len[i]
+        assert list(table.cdfs[i][: table.sizes[i]]) == list(ref_cdf[i][: ref_len[i]]), f"ch {i}"
