@@ -212,16 +212,10 @@ def channel_indexes(shape_nhwc) -> np.ndarray:
     return np.repeat(np.tile(np.arange(c, dtype=np.int32), n), h * w)
 
 
-class StreamDecoder:
-    """Independent decode handle over one rANS stream (own RansDecoder
-    state, shared CDF tables).  Lets two layers'/frames' streams decode
-    concurrently on host threads — the ctypes calls release the GIL, so
-    distinct handles genuinely parallelize (pipeline.decode_sequence)."""
-
-    def __init__(self, gaussian_table: CdfTable, string: bytes):
-        self.gaussian_table = gaussian_table
-        self.decoder = RansDecoder()
-        self.decoder.set_stream(string)
+class _StreamDecodeMixin:
+    """Shared rANS decode methods (requires `self.decoder` and
+    `self.gaussian_table`) — one implementation serves both the
+    independent per-stream handles and VideoCoder's builtin decoder."""
 
     def decode_factorized(self, shape_nhwc, table: CdfTable) -> np.ndarray:
         indexes = channel_indexes(shape_nhwc)
@@ -238,7 +232,19 @@ class StreamDecoder:
         return symbol_order_to_nhwc(vals, shape).astype(np.float32)
 
 
-class VideoCoder:
+class StreamDecoder(_StreamDecodeMixin):
+    """Independent decode handle over one rANS stream (own RansDecoder
+    state, shared CDF tables).  Lets two layers'/frames' streams decode
+    concurrently on host threads — the ctypes calls release the GIL, so
+    distinct handles genuinely parallelize (pipeline.decode_sequence)."""
+
+    def __init__(self, gaussian_table: CdfTable, string: bytes):
+        self.gaussian_table = gaussian_table
+        self.decoder = RansDecoder()
+        self.decoder.set_stream(string)
+
+
+class VideoCoder(_StreamDecodeMixin):
     """Entropy coder bundle for the video models (DMCExtend / LSSVCExtend):
     two factorized tables (z, mv_z) + one shared Laplace table."""
 
@@ -279,20 +285,6 @@ class VideoCoder:
 
     def set_stream(self, string: bytes):
         self.decoder.set_stream(string)
-
-    def decode_factorized(self, shape_nhwc, table: CdfTable) -> np.ndarray:
-        indexes = channel_indexes(shape_nhwc)
-        vals = self.decoder.decode_stream(indexes, table.cdfs, table.sizes,
-                                          table.offsets)
-        return symbol_order_to_nhwc(vals, shape_nhwc).astype(np.float32)
-
-    def decode_gaussian(self, index_nhwc) -> np.ndarray:
-        shape = np.asarray(index_nhwc).shape
-        indexes = nhwc_to_symbol_order(index_nhwc)
-        vals = self.decoder.decode_stream(indexes, self.gaussian_table.cdfs,
-                                          self.gaussian_table.sizes,
-                                          self.gaussian_table.offsets)
-        return symbol_order_to_nhwc(vals, shape).astype(np.float32)
 
 
 class IntraCoder:

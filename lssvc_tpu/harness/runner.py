@@ -288,56 +288,17 @@ def _save_context_artifact(args_dict, ratio, frame_idx, context):
 
 
 def encode_one(args_dict, device=None):
-    """Build models from checkpoints and run one task
-    (`test.py:540-632`)."""
-    from ..models import IntraSS
-    from ..models.lssvc import LSSVCExtend
-    from ..parallel.scheduler import _load_net
+    """Reference-parity surface (`test.py:540-632`): build models and run
+    one task.
 
-    i_frame_net = _load_net(IntraSS, args_dict["i_frame_model_path"])
+    Delegates to `parallel.scheduler.run_one` — the canonical task
+    implementation (model cache + per-model lock, profiling reset,
+    result stamping); this wrapper existed as a near-copy and had drifted
+    (no profiling reset between runs, fresh model loads per call).  The
+    `device` argument is kept for reference signature parity; placement
+    is jax-managed on the single-chip serving path.
+    """
+    del device
+    from ..parallel.scheduler import run_one
 
-    if args_dict.get("force_intra"):
-        video_net = None
-    else:
-        video_net = _load_net(LSSVCExtend, args_dict["video_model_path"])
-
-    if args_dict.get("write_stream"):
-        if video_net is not None:
-            video_net.update(force=True)
-        i_frame_net.update(force=True)
-    if (args_dict.get("decoding_profiling") and video_net is not None
-            and args_dict.get("write_stream")):
-        # per-stage BL decode wall-clock (reference: the 14-key dict at
-        # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
-        video_net.base_layer_model.profile_decoding = True
-
-    sub_dir_name = args_dict["video_path"]
-    args_dict = dict(args_dict)
-    args_dict["yuv_path_el"] = os.path.join(args_dict["dataset_path"],
-                                            sub_dir_name, "x1.yuv")
-    args_dict["gop_size"] = args_dict["gop"]
-    args_dict["bin_folder"] = os.path.join(
-        args_dict.get("stream_path", "out_bin"), sub_dir_name,
-        str(args_dict.get("model_idx", 0)))
-    for key, flag in (("decoded_frame_folder", "decoded_frame_path"),
-                      ("decoded_mv_folder", "decoded_mv_path"),
-                      ("warp_frame_folder", "warp_frame_path"),
-                      ("decoded_context_folder", "decoded_context_path")):
-        args_dict[key] = os.path.join(
-            args_dict.get(flag, key), sub_dir_name,
-            str(args_dict.get("model_idx", 0)))
-
-    result_bl, result_el, result_fl = run_test(video_net, i_frame_net,
-                                               args_dict, device)
-    if (args_dict.get("decoding_profiling") and video_net is not None
-            and args_dict.get("write_stream")):
-        prof = video_net.base_layer_model.get_average_decoding_profiling()
-        result_bl["decoding_profiling"] = prof
-    name = (f"{os.path.basename(args_dict.get('video_model_path', 'intra'))}"
-            f"_{sub_dir_name}")
-    for res in (result_bl, result_el, result_fl):
-        res["name"] = name
-        res["ds_name"] = args_dict["ds_name"]
-        res["video_path"] = args_dict["video_path"]
-        res["ratio"] = args_dict["ratio"]
-    return result_bl, result_el, result_fl
+    return run_one(args_dict)

@@ -24,16 +24,34 @@ _BUILD_LOCK = threading.Lock()
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-o", _LIB_PATH, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    """Compile to a temp path and os.rename into place: rename is atomic
+    on POSIX, so concurrent processes (jobs.run_commands workers, parallel
+    test.py launches on a fresh clone) never CDLL a partially written .so;
+    an inter-process flock serializes the redundant compiles themselves."""
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.rename(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _stale():
+    return (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC))
 
 
 def _load():
     with _BUILD_LOCK:
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
-            _build()
+        if _stale():
+            import fcntl
+
+            with open(os.path.join(_HERE, ".build.lock"), "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                if _stale():  # another process may have built meanwhile
+                    _build()
     lib = ctypes.CDLL(_LIB_PATH)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)

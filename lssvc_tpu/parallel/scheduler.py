@@ -10,10 +10,18 @@ thread pool.  Models are cached per checkpoint path so a sweep over
 
 from __future__ import annotations
 
+import threading
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 _MODEL_CACHE: dict = {}
+_CACHE_LOCK = threading.Lock()
+# Cached models carry mutable per-task state (set_scale_information's
+# scale/shape, the rANS coder buffers, profiling accumulators), so tasks
+# sharing a model must serialize — per-model locks keep tasks on DIFFERENT
+# models concurrent while preventing one task's frame from coding at
+# another task's scale or interleaving symbols into its stream.
+_MODEL_LOCKS: dict = {}
 
 
 def _load_net(cls, path, **kw):
@@ -36,17 +44,20 @@ def _get_models(task):
 
     key = (task["i_frame_model_path"],
            None if task.get("force_intra") else task["video_model_path"])
-    if key not in _MODEL_CACHE:
-        i_frame_net = _load_net(IntraSS, task["i_frame_model_path"])
-        video_net = None
-        if not task.get("force_intra"):
-            video_net = _load_net(LSSVCExtend, task["video_model_path"])
-        if task.get("write_stream"):
-            i_frame_net.update(force=True)
-            if video_net is not None:
-                video_net.update(force=True)
-        _MODEL_CACHE[key] = (i_frame_net, video_net)
-    return _MODEL_CACHE[key]
+    with _CACHE_LOCK:
+        if key not in _MODEL_CACHE:
+            i_frame_net = _load_net(IntraSS, task["i_frame_model_path"])
+            video_net = None
+            if not task.get("force_intra"):
+                video_net = _load_net(LSSVCExtend, task["video_model_path"])
+            if task.get("write_stream"):
+                i_frame_net.update(force=True)
+                if video_net is not None:
+                    video_net.update(force=True)
+            _MODEL_CACHE[key] = (i_frame_net, video_net)
+            _MODEL_LOCKS[key] = threading.Lock()
+        return _MODEL_CACHE[key] + (_MODEL_LOCKS.setdefault(
+            key, threading.Lock()),)
 
 
 def run_one(task: dict):
@@ -54,7 +65,7 @@ def run_one(task: dict):
 
     from ..harness.runner import run_test
 
-    i_frame_net, video_net = _get_models(task)
+    i_frame_net, video_net, model_lock = _get_models(task)
     task = dict(task)
     sub_dir = task["video_path"]
     task["yuv_path_el"] = os.path.join(task["dataset_path"], sub_dir, "x1.yuv")
@@ -70,16 +81,17 @@ def run_one(task: dict):
 
     profiling = (task.get("decoding_profiling") and video_net is not None
                  and task.get("write_stream"))
-    if profiling:
-        # per-stage BL decode wall-clock (reference: the 14-key dict at
-        # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
-        video_net.base_layer_model.profile_decoding = True
-        video_net.base_layer_model.reset_decoding_profiling()
+    with model_lock:
+        if profiling:
+            # per-stage BL decode wall-clock (reference: the 14-key dict at
+            # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
+            video_net.base_layer_model.profile_decoding = True
+            video_net.base_layer_model.reset_decoding_profiling()
 
-    res_bl, res_el, res_fl = run_test(video_net, i_frame_net, task)
-    if profiling:
-        res_bl["decoding_profiling"] = \
-            video_net.base_layer_model.get_average_decoding_profiling()
+        res_bl, res_el, res_fl = run_test(video_net, i_frame_net, task)
+        if profiling:
+            res_bl["decoding_profiling"] = \
+                video_net.base_layer_model.get_average_decoding_profiling()
     name = (f"{os.path.basename(task.get('video_model_path', 'intra'))}"
             f"_{sub_dir}")
     for res in (res_bl, res_el, res_fl):
