@@ -24,8 +24,6 @@ correctness.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,16 +75,32 @@ def _quantize_i(y, means):
     return jnp.round(y - means).astype(jnp.int32)
 
 
-def encode_device(params, x, ref_frame, ref_feature):
+def encode_device(params, x, ref_frame, ref_feature,
+                  split_contexts: bool = False):
     """All device work for one BL frame, closed-loop staged (see module
-    docstring).  Returns (planes, dpb); nothing crosses to the host."""
+    docstring).  Returns (planes, dpb); nothing crosses to the host.
+
+    split_contexts mirrors the decoder's --decoding_profiling mode, which
+    derives contexts via `_dec_stage_mv_only` + `_dec_stage_mc_only`
+    instead of the fused `_dec_stage_contexts`.  The closed-loop contract
+    requires the encoder to run the VERBATIM executables its decoder will
+    run — differently-fused stages differ in last bits and a flipped
+    quantized scale-index bucket desynchronizes the rANS stream — so
+    profiled runs must flip this on the encode side too (compress() does
+    it from model.profile_decoding)."""
     from ..utils.checks import finite_flags
 
     mv_y, mv_z_i, mv_ok = _enc_mv_analysis(params, x, ref_frame)
     mv_idx, mv_means = _dec_stage_mv_prior(params, _f32(mv_z_i))
     mv_y_q_i = _quantize_i(mv_y, mv_means)
-    mv_hat, c1, c2, c3 = _dec_stage_contexts(params, _f32(mv_y_q_i), mv_means,
-                                             ref_frame, ref_feature)
+    if split_contexts:
+        mv_hat = _dec_stage_mv_only(params, _f32(mv_y_q_i), mv_means)
+        c1, c2, c3 = _dec_stage_mc_only(params, mv_hat, ref_frame,
+                                        ref_feature)
+    else:
+        mv_hat, c1, c2, c3 = _dec_stage_contexts(params, _f32(mv_y_q_i),
+                                                 mv_means, ref_frame,
+                                                 ref_feature)
     y, z_i, y_ok = _enc_res_analysis(params, x, c1, c2, c3)
     y_idx, y_means = _dec_stage_y_prior(params, _f32(z_i), c1, c2, c3)
     y_q_i = _quantize_i(y, y_means)
@@ -132,8 +146,9 @@ def write_planes(coder, planes):
 
 
 def compress(model, x, dpb):
-    planes, out_dpb = encode_device(model.params, x, dpb["ref_frame_bl"],
-                                    dpb["ref_feature_bl"])
+    planes, out_dpb = encode_device(
+        model.params, x, dpb["ref_frame_bl"], dpb["ref_feature_bl"],
+        split_contexts=getattr(model, "profile_decoding", False))
     string = write_planes(model._coder, planes)
     return {"string": string, "dpb": out_dpb}
 

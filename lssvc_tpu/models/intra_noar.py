@@ -209,7 +209,7 @@ class IntraNoAR(Model):
         y_strings = self._coder.gc_compress(y, indexes, means_hat)
         out = {"strings": [y_strings, z_strings], "shape": hw}
         if with_recon:
-            y_hat = jax.jit(_y_roundtrip)(y, means_hat)
+            y_hat = _y_roundtrip_jit(y, means_hat)
             out["y_hat"] = y_hat
             out["x_hat"] = jax.jit(_synthesis)(self.params, y_hat)
         return out
@@ -256,6 +256,9 @@ def _y_roundtrip(y, means):
     sym = jnp.round(y - means).astype(jnp.int32)
     return sym.astype(jnp.float32) + means
 
+
+
+_y_roundtrip_jit = jax.jit(_y_roundtrip)
 
 def _recon_from_yz(params, y, z):
     y_hat, z_hat, y_lik, z_lik, _, _ = hyper_synthesis_quantize(params, y, z)

@@ -11,10 +11,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..convert import P
-from ..entropy.models import build_indexes_img, entropy_bottleneck_forward
+from ..entropy.models import build_indexes_img
 from ..ops import pad_nhwc
 from ..utils.stream import decode_i, encode_i, filesize, get_downsampled_shape
 from .intra_ss import (
@@ -59,7 +58,7 @@ def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
     `gc_decompress` reconstructs — a last-bit divergence anywhere here
     would flip an index bucket and desynchronize the EL rANS stream (see
     dmc_stream.py docstring)."""
-    from .intra_noar import _y_roundtrip
+    from .intra_noar import _y_roundtrip_jit
 
     model.update()
     bl = model.base_layer_model
@@ -92,7 +91,7 @@ def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
              bin_path_el)
     bit_el = filesize(bin_path_el) * 8
 
-    y_hat_el = jax.jit(_y_roundtrip)(y_el, means)
+    y_hat_el = _y_roundtrip_jit(y_el, means)
     feature, x_hat_el = _el_synthesis_jit(model.params, y_hat_el, c1, c2, c3)
     return {
         "bit_bl": bit_bl,

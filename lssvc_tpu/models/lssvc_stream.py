@@ -50,6 +50,12 @@ from .lssvc import (
 from .lssvc_blocks import layer_prior_resampler, mv_resampler, prior_fusion
 
 
+# EL residual hyper-latent channel width (fixed by the architecture;
+# `LSSVC_net.py` res_prior_encoder output) — shared with pipeline.py's
+# overlapped decode so the factorized-plane shape exists ONCE
+EL_Z_CHANNELS = 128
+
+
 def _depad(dpb, pad_size):
     texture = pad_nhwc(dpb["texture"], pad_size)
     mv_bl_hat = pad_nhwc(dpb["mv_hat_bl"], pad_size)
@@ -304,7 +310,7 @@ def decompress(model, string, height, width, dpb):
         params, jnp.asarray(mv_y_q), mv_means, mv_ctx, texture,
         dpb["ref_frame_el"], dpb["ref_feature_el"], shape_hr)
 
-    z = coder.decode_factorized((1, zh, zw, 128), coder.z_table)
+    z = coder.decode_factorized((1, zh, zw, EL_Z_CHANNELS), coder.z_table)
     common_params = _dec_common_params_jit(params, jnp.asarray(z), c3,
                                            y_bl_hat, shape_hr)
 

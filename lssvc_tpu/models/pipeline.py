@@ -74,33 +74,50 @@ def encode_sequence(model, frames_bl, frames_el, dpb, bl_paths, el_paths):
     Returns (final dpb, [(bits_bl, bits_el), ...]).
 
     Streams are byte-identical to the sequential
-    `encode_decode_extend` loop (same planes, same coders) and decode with
-    the standard `decompress` path.
+    `encode_decode_extend` loop under runner semantics (same planes, same
+    coders, same inter-frame DPB clamp) and decode with the standard
+    `decompress` path driven by the clamping drivers (runner, decode.py,
+    decode_sequence).
     """
-    import jax
-
     n = len(bl_paths)
     assert len(el_paths) == n
     with ThreadPoolExecutor(max_workers=1) as pool:  # in-order host coding
         futures = []
         for t in range(n):
-            bl_planes, el_planes, dpb = _frame_device(
-                model, frames_bl[t], frames_el[t], dpb)
-            # pace to ONE frame in flight: the device admits only ~8
-            # outstanding programs at full speed (docs/PERFORMANCE.md), and
-            # a frame is ~12 — enqueueing the whole sequence degrades the
-            # device ~2x and was measured SLOWER than sequential.  Blocking
-            # here leaves the worker's host rANS of frame t-1/t overlapped
-            # with frame t+1's enqueue + execution.  Plane transfers start
-            # asynchronously from the main thread so the worker's
-            # np.asarray finds data already host-resident.
-            for leaf in jax.tree.leaves((bl_planes, el_planes)):
-                leaf.copy_to_host_async()
-            jax.block_until_ready(dpb["ref_frame_el"])
-            futures.append(pool.submit(_host_code_frame, model, bl_planes,
-                                       el_planes, bl_paths[t], el_paths[t]))
+            dpb, fut = submit_p_frame(model, frames_bl[t], frames_el[t],
+                                      dpb, bl_paths[t], el_paths[t], pool)
+            futures.append(fut)
         bits = [f.result() for f in futures]
     return dpb, bits
+
+
+def submit_p_frame(model, x_bl, x_el, dpb, bl_path, el_path, pool):
+    """One paced pipelined P-frame — THE shared per-frame submit block for
+    every encode driver (encode_sequence here, harness.serving.encode_gop):
+    device encode, runner-parity inter-frame DPB clamp (reference
+    `test.py:249-250`), async plane prefetch, one-frame-in-flight pacing,
+    host rANS submitted to `pool`.  Returns (clamped dpb, bits-future).
+
+    Pacing rationale: the device admits only ~8 outstanding programs at
+    full speed (docs/PERFORMANCE.md) and a frame is ~12 — enqueueing a
+    whole sequence degrades the device ~2x and measured SLOWER than
+    sequential.  Blocking here leaves the worker's host rANS of frame
+    t-1/t overlapped with frame t+1's enqueue + execution; plane transfers
+    start asynchronously from the main thread so the worker's np.asarray
+    finds data already host-resident."""
+    import jax
+    import jax.numpy as jnp
+
+    bl_planes, el_planes, dpb = _frame_device(model, x_bl, x_el, dpb)
+    dpb = dict(dpb)
+    dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+    dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+    for leaf in jax.tree.leaves((bl_planes, el_planes)):
+        leaf.copy_to_host_async()
+    jax.block_until_ready(dpb["ref_frame_el"])
+    fut = pool.submit(_host_code_frame, model, bl_planes, el_planes,
+                      bl_path, el_path)
+    return dpb, fut
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +141,9 @@ def decode_frame_overlapped(model, string_bl, string_el, h_bl, w_bl,
       * device stages are dispatched eagerly (XLA async dispatch) and only
         index-plane transfers synchronize.
 
-    Returns {"dpb": ..., "mv_hat": ..., "warp_frame": None, "context": c1}.
+    Returns {"dpb": ..., "bl_dpb": ..., "mv_hat": ..., "context": c1}.
+    The caller chains frames and applies the harness's inter-frame DPB
+    clamp (decode_sequence does; cf. runner.py / decode.py).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -187,7 +206,8 @@ def decode_frame_overlapped(model, string_bl, string_el, h_bl, w_bl,
         params_el, jnp.asarray(el_mv_y), el_mv_means, mv_ctx, texture,
         dpb["ref_frame_el"], dpb["ref_feature_el"], shape_hr)
     # EL z: static indexes — decodes while the EL context stage executes
-    z_el = dec_el.decode_factorized((1, zh_e, zw_e, 128), coder_el.z_table)
+    z_el = dec_el.decode_factorized(
+        (1, zh_e, zw_e, lstream.EL_Z_CHANNELS), coder_el.z_table)
     y_bl_hat_p = pad_nhwc(y_hat_bl, tuple(int(v / 16) for v in pad))
     common = lstream._dec_common_params_jit(params_el, jnp.asarray(z_el), c3,
                                             y_bl_hat_p, shape_hr)
@@ -225,11 +245,18 @@ def decode_sequence(model, bl_paths, el_paths, dpb, h_bl, w_bl, h_el, w_el):
 
     from ..utils.stream import decode_p
 
+    import jax.numpy as jnp
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         for pb, pe in zip(bl_paths, el_paths):
             out = decode_frame_overlapped(
                 model, decode_p(pb), decode_p(pe), h_bl, w_bl, h_el, w_el,
                 dpb, pool)
-            dpb = out["dpb"]
+            dpb = dict(out["dpb"])
+            # runner-parity inter-frame clamp (reference `test.py:249-250`
+            # clamps the DPB in place) — required for bit-consistency with
+            # streams encoded by the clamping drivers (runner, serving)
+            dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+            dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
             jax.block_until_ready(dpb["ref_frame_el"])
     return dpb

@@ -199,7 +199,11 @@ def test_pipelined_encode_matches_sequential(lssvc_model, tmp_path):
             output_path_el=str(seq_dir / f"el{t}.bin"),
             pic_width=128, pic_height=128, pic_width_bl=64, pic_height_bl=64)
         seq_bits.append((res["bit_bl"], res["bit_el"]))
-        dpb = res["dpb"]
+        dpb = dict(res["dpb"])
+        # runner-parity inter-frame clamp (reference test.py:249-250) —
+        # encode_sequence applies the same
+        dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+        dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
 
     # pipelined encoder
     pip_dir = tmp_path / "pip"
@@ -257,10 +261,12 @@ def test_overlapped_decode_matches_serial(lssvc_model, tmp_path):
             xs_bl[t], xs_el[t], dict(dpb), output_path_bl=pb,
             output_path_el=pe, pic_width=128, pic_height=128,
             pic_width_bl=64, pic_height_bl=64)
-        dpb = res["dpb"]
+        serial_dpbs.append(res["dpb"])
+        dpb = dict(res["dpb"])
+        dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+        dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
         bl_paths.append(pb)
         el_paths.append(pe)
-        serial_dpbs.append(dpb)
 
     # overlapped decode, frame by frame, checking every DPB leaf
     dpb = dict(dpb0)
@@ -269,17 +275,47 @@ def test_overlapped_decode_matches_serial(lssvc_model, tmp_path):
             out = decode_frame_overlapped(
                 m, decode_p(bl_paths[t]), decode_p(el_paths[t]),
                 64, 64, 128, 128, dpb, pool)
-            dpb = out["dpb"]
+            dpb = dict(out["dpb"])
             for key in ("ref_frame_bl", "ref_feature_bl", "ref_frame_el",
                         "ref_feature_el"):
                 np.testing.assert_array_equal(
                     np.asarray(dpb[key]), np.asarray(serial_dpbs[t][key]),
                     err_msg=f"frame {t} {key}")
             assert out["context"] is not None
+            dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
+            dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
 
     # the sequence driver wraps the same per-frame path
     dpb_seq = decode_sequence(m, bl_paths, el_paths, dict(dpb0),
                               64, 64, 128, 128)
+    # decode_sequence returns the CLAMPED final DPB (runner parity)
     np.testing.assert_array_equal(
         np.asarray(dpb_seq["ref_frame_el"]),
-        np.asarray(serial_dpbs[-1]["ref_frame_el"]))
+        np.asarray(jnp.clip(serial_dpbs[-1]["ref_frame_el"], 0.0, 1.0)))
+
+
+def test_closed_loop_bit_exact_with_decoding_profiling(dmc_model):
+    """--decoding_profiling swaps the decoder's fused context stage for the
+    split mv_only + mc_only executables; the encoder must run the SAME
+    split executables (compress reads model.profile_decoding) or a last-bit
+    fusion difference can flip a scale-index bucket and desync the
+    y-plane decode."""
+    rng = np.random.default_rng(23)
+    x = nhwc_rand(rng, (1, 64, 64, 3))
+    dpb_bl = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+    }
+    m = dmc_model
+    m.profile_decoding = True
+    try:
+        m.reset_decoding_profiling()
+        enc = m.compress(x, dpb_bl)
+        dec = m.decompress(enc["string"], 64, 64, dpb_bl)
+    finally:
+        m.profile_decoding = False
+    for k in ("ref_frame_bl", "ref_feature_bl", "y_hat_bl", "mv_hat_bl"):
+        np.testing.assert_array_equal(np.asarray(enc["dpb"][k]),
+                                      np.asarray(dec["dpb"][k]), err_msg=k)
+    prof = m.get_average_decoding_profiling()
+    assert prof and all(v >= 0 for v in prof.values())
