@@ -36,27 +36,35 @@ def parse_args():
     p.add_argument("--frame_num", type=int, required=True)
     p.add_argument("--yuv_out", required=True, help="EL output YUV path")
     p.add_argument("--yuv_out_bl", default=None, help="BL output YUV path")
+    p.add_argument("--precision", default="fp32",
+                   choices=["fp32", "high", "bf16"],
+                   help="MUST match the precision the stream was encoded "
+                        "with: the scale-index planes are derived by the "
+                        "same jitted stages on both sides, and a "
+                        "precision mismatch flips quantized index buckets "
+                        "and desynchronizes the rANS stream (closed-loop "
+                        "contract, models/dmc_stream.py)")
     return p.parse_args()
-
-
-def load_model(cls, path, **kw):
-    if path.endswith(".npz"):
-        from lssvc_tpu.checkpoint import load_params
-
-        params, _ = load_params(path)
-        return cls(params, **kw)
-    from lssvc_tpu.convert import load_torch_checkpoint
-
-    return cls.from_torch_state_dict(load_torch_checkpoint(path), **kw)
 
 
 def main():
     args = parse_args()
+
+    # honor JAX_PLATFORMS=cpu (the sitecustomize registers the TPU backend
+    # at interpreter start; env alone is ignored) — same as test.py/train.py
+    from lssvc_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from lssvc_tpu.ops import set_precision_mode
+    from lssvc_tpu.parallel.scheduler import _load_net as load_model
     from lssvc_tpu.utils.cache import enable_compile_cache
+
+    set_precision_mode(args.precision)
     enable_compile_cache()
 
     from lssvc_tpu.harness.runner import RATIO_FACTORS, _to_host_chw

@@ -57,13 +57,23 @@ class Model:
                            f"e.g. {sorted(unknown)[:5]}")
         self.params = {**self.params, **converted}
 
-    def param_label_fn(self, inter_module_names):
+    def param_label_fn(self, inter_module_names=None):
         """Partition labeler for selective freezing (the reference's
-        `control_is_prediction_parameter`, `dmc_net.py:283-290`): maps each
-        param name to 'prediction' or 'other' by substring match."""
+        `control_is_prediction_parameter`, `dmc_net.py:283-290`)."""
+        return label_params(self.params, inter_module_names
+                            or INTER_PREDICTION_MODULES)
 
-        def label(name):
-            return ("prediction"
-                    if any(m in name for m in inter_module_names) else "other")
 
-        return {k: label(k) for k in self.params}
+# The motion-prediction submodules of the reference's selective-freeze
+# stages (`dmc_net.py:283-290`) — the ONE place this list lives; train.py
+# and param_label_fn both use it.
+INTER_PREDICTION_MODULES = ("mv_encoder", "mv_decoder", "mv_prior_encoder",
+                            "mv_prior_decoder", "bit_estimator_z_mv",
+                            "optic_flow")
+
+
+def label_params(params, inter_module_names=INTER_PREDICTION_MODULES):
+    """'prediction' / 'other' label per param name by substring match."""
+    return {k: ("prediction"
+                if any(m in k for m in inter_module_names) else "other")
+            for k in params}

@@ -175,6 +175,11 @@ def main():
 
     os.makedirs(args.output_path, exist_ok=True)
     for ratio in args.ratios:
+        # JSON keys: checkpoint basenames, disambiguated by index when a
+        # sweep reuses the same filename in different directories
+        basenames = [os.path.basename(m) for m in args.model_path]
+        ckpt_keys = [b if basenames.count(b) == 1 else f"{i}_{b}"
+                     for i, b in enumerate(basenames)]
         logs = {"BL": {}, "EL": {}, "FL": {}}
         for ds_name in config:
             if config[ds_name]["test"] == 0:
@@ -184,10 +189,15 @@ def main():
             for seq in config[ds_name]["sequences"]:
                 for layer in logs:
                     logs[layer][ds_name].setdefault(seq, {})
-                for model in args.model_path:
-                    ckpt = os.path.basename(model)
+                for model_idx, model in enumerate(args.model_path):
+                    ckpt = ckpt_keys[model_idx]
                     for res_bl, res_el, res_fl in results:
-                        if (res_bl["name"].startswith(ckpt)
+                        # match on the stamped model INDEX, not the basename:
+                        # a lambda sweep naturally produces identically-named
+                        # checkpoints in different dirs, and a basename
+                        # prefix match would publish one model's metrics
+                        # under every rate point
+                        if (res_bl.get("model_idx") == model_idx
                                 and ds_name == res_bl["ds_name"]
                                 and seq == res_bl["video_path"]
                                 and res_bl["ratio"] == ratio):
@@ -200,7 +210,9 @@ def main():
                 json.dump(log, fp, indent=2)
 
     count_models = len(args.model_path)
-    count_frames = sum(t["frame_num"] for t in tasks) // max(count_models, 1)
+    # unique source frames (tasks repeat each sequence per model AND ratio)
+    count_frames = sum({(t["ds_name"], t["video_path"]): t["frame_num"]
+                        for t in tasks}.values())
     count_sequences = len({(t["ds_name"], t["video_path"]) for t in tasks})
     total_minutes = (time.time() - begin_time) / 60
     print("Test finished")

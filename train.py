@@ -10,7 +10,7 @@ crops) or a synthetic generator for smoke runs.
 
 Example:
   python train.py --steps 1000 --lmbda 0.01 --crop 256 --data synthetic
-  python train.py --data /data/vimeo --list train.txt --resume ckpt.npz
+  python train.py --data /data/vimeo --resume ckpt.npz
 """
 
 import argparse
@@ -116,8 +116,17 @@ class YUVPairs:
 
         self.files = sorted(glob.glob(os.path.join(root, "**", "*.yuv"),
                                       recursive=True))
+        frame_bytes = width * height * 3 // 2
+        short = [f for f in self.files
+                 if os.path.getsize(f) < frame_bytes]
+        if short:
+            print(f"YUVPairs: skipping {len(short)} file(s) shorter than "
+                  f"one {width}x{height} frame, e.g. {short[0]}")
+            self.files = [f for f in self.files if f not in set(short)]
         if not self.files:
-            raise FileNotFoundError(f"no .yuv under {root}")
+            raise FileNotFoundError(
+                f"no usable .yuv under {root} (>= one frame at "
+                f"{width}x{height})")
         self.width = width
         self.height = height
         self.crop = crop
@@ -136,6 +145,11 @@ class YUVPairs:
         for _ in range(t):
             y, uv = r.read_one_frame()
             if y is None:
+                if not frames:
+                    raise ValueError(
+                        f"{path}: no complete frame at {self.width}x"
+                        f"{self.height} (truncated file or wrong --width/"
+                        "--height)")
                 frames.append(frames[-1])
             else:
                 frames.append(ycbcr420_to_rgb(y, uv).transpose(1, 2, 0))
@@ -180,7 +194,8 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from lssvc_tpu.checkpoint import load_params, save_params
+    from lssvc_tpu.checkpoint import (load_params, load_train_state,
+                                      save_params, save_train_state)
     from lssvc_tpu.models.init import init_intra_ss, init_lssvc
     from lssvc_tpu.parallel.mesh import make_mesh
     from lssvc_tpu.parallel.train import (make_sharded_train_scan,
@@ -218,11 +233,10 @@ def main():
     optimizer = optax.adam(lr)
     if args.freeze:
         # reference-style selective freeze (`dmc_net.py:283-290`): zero
-        # updates for one partition
-        inter = ("mv_encoder", "mv_decoder", "mv_prior_encoder",
-                 "mv_prior_decoder", "bit_estimator_z_mv", "optic_flow")
-        labels = {k: ("prediction" if any(m in k for m in inter) else "other")
-                  for k in params}
+        # updates for one partition (canonical list in models/base.py)
+        from lssvc_tpu.models.base import label_params
+
+        labels = label_params(params)
         optimizer = optax.multi_transform(
             {"prediction": (optax.set_to_zero()
                             if args.freeze == "prediction" else optax.adam(lr)),
@@ -230,6 +244,27 @@ def main():
                        if args.freeze == "other" else optax.adam(lr))},
             labels)
     opt_state = optimizer.init(params)
+
+    # full-state resume: a sibling .state.npz (written at every save)
+    # restores Adam moments + the LR-schedule position + the step counter;
+    # without it a crash-resume restarts the cosine schedule at full LR
+    # with zeroed moments and renumbers checkpoints from 1.  Stage
+    # transitions pass the params-only npz (no sibling state for the new
+    # optimizer), which correctly resets the optimizer for the new stage.
+    step0 = 0
+    if args.resume:
+        state_path = (args.resume if args.resume.endswith(".state.npz")
+                      else args.resume[:-len(".npz")] + ".state.npz")
+        if os.path.exists(state_path):
+            try:
+                params, opt_state, step0 = load_train_state(state_path,
+                                                            opt_state)
+                print(f"restored optimizer state + step {step0} "
+                      f"from {state_path}")
+            except Exception as e:  # structure mismatch (different stage)
+                print(f"state restore failed ({e}); params-only resume")
+        else:
+            print("params-only resume (fresh optimizer state)")
 
     mesh = make_mesh()
     scan_k = max(args.scan_steps, 1)
@@ -295,7 +330,7 @@ def main():
         # Batches for all scan_k steps are drawn in ONE generator call
         # (leading dim scan_k*batch) and reshaped to (scan_k, batch, ...),
         # so the host cost is amortized too.
-        step = 0
+        step = step0
         while step < args.steps:
             bd, fpi = host_batch(scan_k * batch)
             bd = {k: v.reshape((scan_k, batch) + v.shape[1:])
@@ -310,9 +345,11 @@ def main():
             if step % args.save_every < scan_k or step >= args.steps:
                 path = f"{args.out}_step{label}.npz"
                 save_params(path, params, metadata={"step": label})
+                save_train_state(path[:-len(".npz")] + ".state.npz", params,
+                                 opt_state, step)
                 print(f"saved {path}")
     else:
-        for step in range(1, args.steps + 1):
+        for step in range(step0 + 1, args.steps + 1):
             batch_dict, fpi = host_batch(batch)
             # traced scalar: lambda sweeps share one compiled executable
             batch_dict["lmbda"] = lm
@@ -323,6 +360,8 @@ def main():
             if step % args.save_every == 0 or step == args.steps:
                 path = f"{args.out}_step{step}.npz"
                 save_params(path, params, metadata={"step": step})
+                save_train_state(path[:-len(".npz")] + ".state.npz", params,
+                                 opt_state, step)
                 print(f"saved {path}")
 
 
