@@ -34,10 +34,20 @@ class Model:
     def scope(self) -> P:
         return P(self.params)
 
+    def _invalidate_derived(self):
+        """Drop caches derived from self.params — the lazily-built
+        base-layer submodel and the update()-time rANS coder tables.
+        Without this, load_dict/load_partial silently keep a previous
+        checkpoint's BL weights and CDF tables in the stream paths."""
+        for attr in ("_bl", "_coder"):
+            if getattr(self, attr, None) is not None:
+                setattr(self, attr, None)
+
     def load_dict(self, state_dict: dict):
         """Reference-compatible alias (`LSSVC_net.py:141-149`)."""
         state_dict = strip_module_prefix(state_dict)
         self.params = convert_state_dict(state_dict, self.TRANSPOSED_CONV_KEYS)
+        self._invalidate_derived()
 
     def load_partial(self, state_dict: dict, src_prefix: str = "",
                      dst_prefix: str = ""):
@@ -51,11 +61,18 @@ class Model:
         transposed = {k for k in self.TRANSPOSED_CONV_KEYS
                       if k in sub}
         converted = convert_state_dict(sub, frozenset(transposed))
+        if not sub:
+            raise KeyError(
+                f"load_partial: src_prefix {src_prefix!r} matched no "
+                f"checkpoint keys (e.g. available: "
+                f"{sorted(state_dict)[:3]}) — a silent no-op here would "
+                "surface only as inexplicably bad RD")
         unknown = set(converted) - set(self.params)
         if unknown:
             raise KeyError(f"load_partial: {len(unknown)} unknown keys, "
                            f"e.g. {sorted(unknown)[:5]}")
         self.params = {**self.params, **converted}
+        self._invalidate_derived()
 
     def param_label_fn(self, inter_module_names=None):
         """Partition labeler for selective freezing (the reference's

@@ -206,6 +206,10 @@ class DMC(Model):
     def encode_decode(self, x, ref_frame, ref_feature, output_path=None,
                       pic_width=None, pic_height=None, **_):
         if output_path is not None:
+            if not hasattr(self, "encode_decode_extend"):
+                raise TypeError(
+                    "real-bitstream encode_decode requires DMCExtend "
+                    "(this is the estimated-bpp base class)")
             return self.encode_decode_extend(x, {"ref_frame_bl": ref_frame,
                                                  "ref_feature_bl": ref_feature},
                                              output_path, pic_width, pic_height)
@@ -225,11 +229,17 @@ class DMCExtend(DMC):
         super().__init__(params)
         # per-stage decode wall-clock accumulators (`dmc_net_extend.py:19-47`)
         self.profile_decoding = False
+        # Stages actually measured by dmc_stream's decode timer.  The
+        # reference's 14-key dict (`dmc_net_extend.py:19-47`) splits finer
+        # (y_h_prior_dec / y_t_prior / rec_generation), but our decoder
+        # fuses those into single executables: "y_prior" covers the hyper
+        # + temporal priors and "res_dec" covers residual decode + recon
+        # generation.  Declaring keys the timer never fills would report
+        # misleading zeros, misattributing their wall-clock to neighbours.
         self.decoding_profiling = {k: 0 for k in (
             "frames", "overall", "entropy_dec_mv_z", "mv_y_prior_dec",
             "entropy_dec_mv_y", "mv_dec", "motion_compensation_ctx_refine",
-            "entropy_dec_z", "y_h_prior_dec", "y_t_prior", "y_prior",
-            "entropy_dec_y", "res_dec", "rec_generation")}
+            "entropy_dec_z", "y_prior", "entropy_dec_y", "res_dec")}
 
     def reset_decoding_profiling(self):
         for k in self.decoding_profiling:

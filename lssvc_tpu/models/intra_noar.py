@@ -119,6 +119,13 @@ def forward(params, x):
 
 _forward_jit = jax.jit(forward)
 _analysis_jit = jax.jit(analysis)
+# module-level shared executables: compress and decompress MUST run
+# the same jitted functions for their index/means planes (closed-loop
+# contract, models/dmc_stream.py docstring); per-call jax.jit(...)
+# wrappers also re-enter the slow dispatch path every I-frame
+_hyper_params_jit = None
+_synthesis_jit = None
+_recon_from_yz_jit = None
 
 
 class IntraNoAR(Model):
@@ -165,7 +172,7 @@ class IntraNoAR(Model):
             y, z = self.get_y_z(x)
             y, z = global_rdo(self.params, y, z, x, rdo_opt)
             if output_path is None:
-                out = jax.jit(_recon_from_yz)(self.params, y, z)
+                out = _get_recon_from_yz_jit()(self.params, y, z)
                 return {"bit": float(out["bit"]), "x_hat": out["x_hat"],
                         "y_hat": out["y_hat"]}
             return self._stream_encode_decode(y, z, output_path, pic_width,
@@ -204,25 +211,25 @@ class IntraNoAR(Model):
         z_strings = self._coder.eb_compress(z)
         hw = (z.shape[1], z.shape[2])
         z_hat = jnp.asarray(self._coder.eb_decompress(z_strings, hw))
-        scales_hat, means_hat = jax.jit(_hyper_params)(self.params, z_hat)
+        scales_hat, means_hat = _get_hyper_params_jit()(self.params, z_hat)
         indexes = build_indexes_img(scales_hat)
         y_strings = self._coder.gc_compress(y, indexes, means_hat)
         out = {"strings": [y_strings, z_strings], "shape": hw}
         if with_recon:
             y_hat = _y_roundtrip_jit(y, means_hat)
             out["y_hat"] = y_hat
-            out["x_hat"] = jax.jit(_synthesis)(self.params, y_hat)
+            out["x_hat"] = _get_synthesis_jit()(self.params, y_hat)
         return out
 
     def decompress(self, strings, shape):
         from ..entropy.models import build_indexes_img
 
         z_hat = jnp.asarray(self._coder.eb_decompress(strings[1], shape))
-        scales_hat, means_hat = jax.jit(_hyper_params)(self.params, z_hat)
+        scales_hat, means_hat = _get_hyper_params_jit()(self.params, z_hat)
         indexes = build_indexes_img(scales_hat)
         y_hat = jnp.asarray(self._coder.gc_decompress(strings[0], indexes,
                                                       means_hat))
-        x_hat = jax.jit(_synthesis)(self.params, y_hat)
+        x_hat = _get_synthesis_jit()(self.params, y_hat)
         return {"x_hat": x_hat, "y_hat": y_hat}
 
     def _stream_encode_decode(self, y, z, output_path, pic_width, pic_height):
@@ -265,3 +272,24 @@ def _recon_from_yz(params, y, z):
     x_hat = g_s(P(params).sub("g_s"), y_hat)
     bits = (jnp.sum(jnp.log(y_lik)) + jnp.sum(jnp.log(z_lik))) / (-LOG2)
     return {"x_hat": x_hat, "y_hat": y_hat, "bit": bits}
+
+
+def _get_hyper_params_jit():
+    global _hyper_params_jit
+    if _hyper_params_jit is None:
+        _hyper_params_jit = jax.jit(_hyper_params)
+    return _hyper_params_jit
+
+
+def _get_synthesis_jit():
+    global _synthesis_jit
+    if _synthesis_jit is None:
+        _synthesis_jit = jax.jit(_synthesis)
+    return _synthesis_jit
+
+
+def _get_recon_from_yz_jit():
+    global _recon_from_yz_jit
+    if _recon_from_yz_jit is None:
+        _recon_from_yz_jit = jax.jit(_recon_from_yz)
+    return _recon_from_yz_jit

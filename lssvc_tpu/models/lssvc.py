@@ -446,6 +446,10 @@ class LSSVC(Model):
                       output_path_el=None, pic_width=None, pic_height=None,
                       pic_width_bl=None, pic_height_bl=None):
         if output_path_el is not None:
+            if not hasattr(self, "encode_decode_extend"):
+                raise TypeError(
+                    "real-bitstream encode_decode requires LSSVCExtend "
+                    "(this is the estimated-bpp base class)")
             return self.encode_decode_extend(
                 x_bl, x_el, dpb, output_path_bl, output_path_el,
                 pic_width, pic_height, pic_width_bl, pic_height_bl)

@@ -33,9 +33,11 @@ def _frame_device(model, x_bl, x_el, dpb):
     """All device work for one two-layer frame.  Returns
     (bl_planes, el_planes, next_dpb); nothing crosses to the host."""
     bl = model.base_layer_model
-    bl_planes, bl_dpb = ds.encode_device(bl.params, x_bl,
-                                         dpb["ref_frame_bl"],
-                                         dpb["ref_feature_bl"])
+    bl_planes, bl_dpb = ds.encode_device(
+        bl.params, x_bl, dpb["ref_frame_bl"], dpb["ref_feature_bl"],
+        # profiled decoders derive contexts via the split executables;
+        # the encoder must run the SAME ones (closed-loop contract)
+        split_contexts=getattr(bl, "profile_decoding", False))
 
     texture, mv_bl_hat, y_bl_hat = ls._depad(
         {"texture": bl_dpb["ref_feature_bl"],
