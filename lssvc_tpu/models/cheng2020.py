@@ -65,7 +65,13 @@ def forward(params, x):
     half = gaussian_params.shape[-1] // 2
     scales_hat = gaussian_params[..., :half]
     means_hat = gaussian_params[..., half:]
-    y_lik = gaussian_conditional_likelihood(y_hat, scales_hat, means_hat)
+    # likelihood at round(y - means) + means — the reference evaluates
+    # `gaussian_conditional(y, scales, means=means_hat)` (priors.py:545,
+    # eval quantize mode "dequantize"); round(y) feeds only the context
+    # model and g_s.  Evaluating at round(y) was up to half a bin off per
+    # element and disagreed with what compress() actually codes.
+    y_q = ste_round(y - means_hat) + means_hat
+    y_lik = gaussian_conditional_likelihood(y_q, scales_hat, means_hat)
     x_hat = g_s(p.sub("g_s"), y_hat)
     bit = (jnp.sum(jnp.log(y_lik)) + jnp.sum(jnp.log(z_lik))) / (-LOG2)
     return {"x_hat": x_hat, "y_hat": y_hat, "bit": bit,
@@ -75,9 +81,24 @@ def forward(params, x):
 _forward_jit = jax.jit(forward)
 
 
+def _rec_only(params, x):
+    p = P(params)
+    y_hat = ste_round(g_a(p.sub("g_a"), x))
+    return g_s(p.sub("g_s"), y_hat), y_hat
+
+
+_rec_only_jit = jax.jit(_rec_only)
+
+
 class Cheng2020Anchor(Model):
     def __init__(self, params: dict, N: int = 192, leaky_relu_slope=0.01):
         super().__init__(params)
+        if abs(float(leaky_relu_slope) - 0.01) > 1e-12:
+            # the forward helpers and the host per-pixel entropy stack all
+            # use the default 0.01; silently ignoring a custom slope would
+            # decode a differently-trained checkpoint with wrong activations
+            raise NotImplementedError(
+                "Cheng2020Anchor supports leaky_relu_slope=0.01 only")
         self.N = N
         self._coder = None
 
@@ -95,8 +116,10 @@ class Cheng2020Anchor(Model):
         return _forward_jit(self.params, x)
 
     def get_rec_only(self, x):
-        out = self.forward(x)
-        return {"x_hat": out["x_hat"], "y_hat": out["y_hat"]}
+        """g_a -> round -> g_s only (`priors.py:553-561`) — no entropy
+        stack (context conv + likelihood reductions) on this query."""
+        out = _rec_only_jit(self.params, x)
+        return {"x_hat": out[0], "y_hat": out[1]}
 
     def encode_decode(self, x, output_path=None, pic_width=None,
                       pic_height=None, rdo=False, rdo_opt=None):
@@ -139,6 +162,16 @@ class Cheng2020Anchor(Model):
         }
 
     @staticmethod
+    def _indexes_np(scales):
+        """Host mirror of entropy.models.build_indexes_img (incl. the
+        reference's +1 bias) — the autoregressive loops are per-pixel, and
+        a jnp round-trip here would be one device dispatch per pixel."""
+        log_min = math.log(0.11)
+        step = (math.log(256.0) - log_min) / (64 - 1)
+        idx = (np.log(np.maximum(scales, 1e-5)) - log_min) / step + 1
+        return np.clip(idx, 0, 63).astype(np.int32)
+
+    @staticmethod
     def _entropy_params_pixel(w, ctx_vec, hyper_vec):
         """1x1 entropy-parameter stack on a single pixel vector."""
         v = np.concatenate([hyper_vec, ctx_vec])
@@ -150,7 +183,6 @@ class Cheng2020Anchor(Model):
         return v[:half], v[half:]
 
     def compress(self, x=None, y=None, z=None):
-        from ..entropy.models import build_indexes_img
         from ..native import BufferedRansEncoder
 
         p = P(self.params)
@@ -167,7 +199,7 @@ class Cheng2020Anchor(Model):
         n, yh, yw, c = y_np.shape
         pad = 2
         gc = self._coder.gc_table
-        y_strings = []
+        y_strings, y_hats = [], []
         for b in range(n):
             y_hat = np.zeros((yh + 2 * pad, yw + 2 * pad, c), np.float32)
             syms, idxs = [], []
@@ -177,7 +209,7 @@ class Cheng2020Anchor(Model):
                     ctx = np.einsum("hwc,hwcd->d", crop, w["ctx_w"]) + w["ctx_b"]
                     scales, means = self._entropy_params_pixel(
                         w, ctx, hyper[b, i, j])
-                    idx = np.asarray(build_indexes_img(jnp.asarray(scales)))
+                    idx = self._indexes_np(scales)
                     q = np.round(y_np[b, i, j] - means)
                     y_hat[i + pad, j + pad] = q + means
                     syms.append(q.astype(np.int32))
@@ -187,12 +219,15 @@ class Cheng2020Anchor(Model):
                                     np.concatenate(idxs), gc.cdfs, gc.sizes,
                                     gc.offsets)
             y_strings.append(enc.flush())
-            self._last_y_hat = y_hat[pad:-pad, pad:-pad]
+            y_hats.append(y_hat[pad:-pad, pad:-pad])
+        # "y_hat": the encoder's decoded latents (what decompress must
+        # reproduce bit-for-bit) — returned explicitly instead of stashed
+        # as hidden instance state
         return {"strings": [y_strings, z_strings],
-                "shape": (z.shape[1], z.shape[2])}
+                "shape": (z.shape[1], z.shape[2]),
+                "y_hat": np.stack(y_hats)}
 
     def decompress(self, strings, shape):
-        from ..entropy.models import build_indexes_img
         from ..native import RansDecoder
 
         p = P(self.params)
@@ -200,7 +235,6 @@ class Cheng2020Anchor(Model):
         hyper = np.asarray(h_s(p.sub("h_s"), z_hat))
 
         w = self._host_weights()
-        n = len(strings[0])
         yh, yw = shape[0] * 4, shape[1] * 4
         c = self.N
         pad = 2
@@ -216,8 +250,8 @@ class Cheng2020Anchor(Model):
                     ctx = np.einsum("hwc,hwcd->d", crop, w["ctx_w"]) + w["ctx_b"]
                     scales, means = self._entropy_params_pixel(
                         w, ctx, hyper[b, i, j])
-                    idx = np.asarray(build_indexes_img(jnp.asarray(scales)))
-                    q = dec.decode_stream(idx.astype(np.int32), gc.cdfs,
+                    idx = self._indexes_np(scales)
+                    q = dec.decode_stream(idx, gc.cdfs,
                                           gc.sizes, gc.offsets)
                     y_hat[i + pad, j + pad] = q + means
             outs.append(y_hat[pad:-pad, pad:-pad])

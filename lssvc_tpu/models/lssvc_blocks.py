@@ -83,7 +83,12 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     go = group_num * offset_num  # 32 warp units
     cg = x.shape[-1] // group_num  # channels per group (3)
 
-    if packed_width() == 2 and aux_feature.shape[2] % 2 == 0:
+    if packed_width() == 2 and aux_feature.shape[2] % 4 == 0:
+        # % 4, not % 2: the stride-2 packed conv is exact only when the
+        # packed width W/2 is itself even (pack_kernel's stride contract);
+        # W = 4k+2 would come out one column short (cf. me_basic's % 4
+        # gate for its p=4 path).  Harness inputs are padded to multiples
+        # of 16, so the packed path still covers every production shape.
         # the stride-2 entry conv reads the full-res 53ch aux tensor
         # (pads 53->128 lanes unpacked); packed it lands at 106->128.
         # Output is half-res packed -> unpack to continue plain.

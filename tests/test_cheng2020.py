@@ -54,4 +54,4 @@ def test_cheng2020_stream_roundtrip(models):
     # (the estimated forward uses context-free round(y), so it is NOT the
     # reference point — same asymmetry as the reference implementation)
     np.testing.assert_allclose(np.asarray(dec["y_hat"])[0],
-                               ours._last_y_hat, atol=1e-5)
+                               compressed["y_hat"][0], atol=1e-5)
