@@ -42,35 +42,37 @@ def weighted_class_points(data, metric="rgb_psnr"):
             frames = np.array([m["i_frame_num"] + m["p_frame_num"]
                                for m in models], dtype=np.float64)
             bpp = np.array([m["ave_all_frame_bpp"] for m in models])
-            if metric == "rgb_psnr":
-                q = np.array([m["ave_all_frame_rgb_psnr"] for m in models])
-            elif metric == "psnr":
-                q = np.array([m["ave_all_frame_psnr"] for m in models])
-            elif metric == "msssim":
-                q = ssim_to_db(np.array([m["ave_all_frame_msssim"]
-                                         for m in models]))
-            elif metric == "rgb_msssim":
-                q = ssim_to_db(np.array([m["ave_all_frame_rgb_msssim"]
-                                         for m in models]))
-            else:
-                raise ValueError(metric)
+            q = np.array([_metric_value(m, metric) for m in models])
             w = frames / frames.sum()
             points.append((float((bpp * w).sum()), float((q * w).sum())))
-        out[ds_name] = points
+        # rate points in bpp order: checkpoint keys sort lexicographically
+        # ('10_m' < '2_m'), which would zigzag the plotted RD curve
+        out[ds_name] = sorted(points)
     return out
+
+
+def _metric_value(m, metric):
+    """One quality value per result dict — SSIM metrics in dB (the
+    convention every consumer here uses)."""
+    if metric == "rgb_psnr":
+        return m["ave_all_frame_rgb_psnr"]
+    if metric == "psnr":
+        return m["ave_all_frame_psnr"]
+    if metric == "msssim":
+        return float(ssim_to_db(np.array(m["ave_all_frame_msssim"])))
+    if metric == "rgb_msssim":
+        return float(ssim_to_db(np.array(m["ave_all_frame_rgb_msssim"])))
+    raise ValueError(metric)
 
 
 def sequence_points(data, metric="rgb_psnr"):
     out = {}
     for ds_name, seqs in data.items():
         for seq, ckpts in seqs.items():
-            pts = []
-            for ckpt in sorted(ckpts):
-                m = ckpts[ckpt]
-                q = (m["ave_all_frame_rgb_psnr"] if metric == "rgb_psnr"
-                     else m["ave_all_frame_psnr"])
-                pts.append((m["ave_all_frame_bpp"], q))
-            out[(ds_name, seq)] = pts
+            pts = [(ckpts[c]["ave_all_frame_bpp"],
+                    _metric_value(ckpts[c], metric))
+                   for c in sorted(ckpts)]
+            out[(ds_name, seq)] = sorted(pts)
     return out
 
 
@@ -104,7 +106,6 @@ def main():
             print(f"  {label:12s} {pts}")
 
     print(f"\n=== BD-rate vs {anchor} (%; negative = better) ===")
-    bd_by_label = {}
     for label, classes in methods.items():
         if label == anchor:
             continue
@@ -119,7 +120,6 @@ def main():
             except Exception as exc:
                 row[ds] = float("nan")
                 print(f"  warn: {label}/{ds}: {exc}")
-        bd_by_label[label] = row
         cells = "  ".join(f"{ds}: {v:+.1f}" for ds, v in row.items())
         mean = np.nanmean(list(row.values())) if row else float("nan")
         print(f"  {label:12s} {cells}  | mean {mean:+.1f}")
@@ -154,8 +154,6 @@ def main():
 
     if args.per_sequence:
         print("\n=== per-sequence RD points ===")
-        for label, _ in methods.items():
-            pass  # class points already shown; sequence detail below
         for spec in args.results:
             label, path = spec.split("=", 1)
             pts = sequence_points(load_results(path), args.metric)

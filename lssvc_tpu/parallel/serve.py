@@ -24,10 +24,7 @@ from jax.sharding import PartitionSpec as PS
 from ..models import lssvc as lssvc_model
 from .mesh import make_mesh
 
-try:  # jax >= 0.4.35 exposes shard_map at the top level
-    shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from .spatial import _shard_map_norep
 
 
 def make_serving_step(mesh=None, shape_hr=(1152, 1920), scale_factor=2.0,
@@ -35,6 +32,11 @@ def make_serving_step(mesh=None, shape_hr=(1152, 1920), scale_factor=2.0,
     """Returns step(params, x_bl, x_el, dpb) -> (dpb', bits) where every
     array is stream-batch-major, the batch is sharded over the mesh, and
     bits has shape (B, 2) = per-stream (bit_bl, bit_el).
+
+    Requires B == mesh size (one stream per device): forward_one_frame's
+    bit counts are sums over the shard's WHOLE local batch, so multiple
+    streams per device would silently report per-device aggregates as if
+    they were per-stream values.  serve_streams asserts this.
 
     The DPB dict uses the model's own keys (ref_frame_bl/el,
     ref_feature_bl/el); feed the returned dpb' to the next call — frames of
@@ -51,12 +53,7 @@ def make_serving_step(mesh=None, shape_hr=(1152, 1920), scale_factor=2.0,
         return out["dpb"], bits
 
     data = PS(axis)
-    fn = shard_map(
-        one, mesh=mesh,
-        in_specs=(PS(), data, data, data),
-        out_specs=(data, data),
-        check_vma=False,
-    )
+    fn = _shard_map_norep(one, mesh, (PS(), data, data, data), (data, data))
     return jax.jit(fn)
 
 
@@ -65,6 +62,12 @@ def serve_streams(params, frames_bl, frames_el, dpb0, mesh=None,
                   pad_size=(0, 0, 0, 0)):
     """Drive T frames of B concurrent streams; returns (final dpb, (T, B, 2)
     per-frame/per-stream bits).  frames_*: (T, B, H, W, C)."""
+    mesh = mesh or make_mesh()
+    b = frames_bl.shape[1] if hasattr(frames_bl, "shape") else len(frames_bl[0])
+    assert b == mesh.devices.size, (
+        f"serve_streams: {b} streams on a {mesh.devices.size}-device mesh — "
+        "per-stream bits require exactly one stream per device (the shard "
+        "body sums bits over its whole local batch)")
     step = make_serving_step(mesh, shape_hr, scale_factor, pad_size)
     dpb = dpb0
     all_bits = []

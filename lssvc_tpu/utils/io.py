@@ -66,7 +66,10 @@ class YUVReader(VideoReader):
             return self._none_exist_frame(dst_format)
         y = self.file.read(self.y_size)
         uv = self.file.read(self.uv_size)
-        if not y or not uv:
+        if len(y) < self.y_size or len(uv) < self.uv_size:
+            # includes a TRUNCATED final frame (file size not a multiple of
+            # the frame size) — end the sequence at the last complete frame
+            # instead of crashing on a short-buffer reshape
             self.eof = True
             return self._none_exist_frame(dst_format)
         y = np.frombuffer(y, dtype=np.uint8).copy().reshape(1, self.height, self.width)

@@ -22,7 +22,9 @@ def _gaussian_kernel(size: int, sigma: float = 1.5) -> np.ndarray:
 
 
 def _ssim_cs(x, y, win, data_range, K=(0.01, 0.03)):
-    """x, y: (C, H, W). Returns (mean ssim, mean cs) over valid region."""
+    """x, y: (C, H, W). Returns per-CHANNEL (ssim, cs) spatial means —
+    pytorch_msssim keeps channels separate until the final cross-level
+    product (prod-of-channel-means != mean-of-channel-prods)."""
     C1 = (K[0] * data_range) ** 2
     C2 = (K[1] * data_range) ** 2
     pad = len(win) // 2
@@ -40,14 +42,22 @@ def _ssim_cs(x, y, win, data_range, K=(0.01, 0.03)):
     sigma12 = filt(x * y) - mu1_mu2
     cs = (2 * sigma12 + C2) / (sigma1_sq + sigma2_sq + C2)
     ssim = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs
-    return float(ssim.mean()), float(cs.mean())
+    return ssim.mean(axis=(-2, -1)), cs.mean(axis=(-2, -1))  # (C,)
 
 
 def _avg_pool2(x):
+    """F.avg_pool2d(kernel_size=2, padding=s%2) semantics: odd spatial
+    dims are ZERO-padded on both sides (count_include_pad) rather than
+    truncated — truncation diverges from pytorch_msssim at every odd
+    pyramid level (1080 -> 540 -> 270 -> 135 hits one)."""
     c, h, w = x.shape
-    h2, w2 = h // 2 * 2, w // 2 * 2
-    x = x[:, :h2, :w2]
-    return x.reshape(c, h2 // 2, 2, w2 // 2, 2).mean(axis=(2, 4))
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (ph, ph), (pw, pw)))
+        h, w = h + 2 * ph, w + 2 * pw
+    oh, ow = (h - 2) // 2 + 1, (w - 2) // 2 + 1
+    x = x[:, :oh * 2, :ow * 2]
+    return x.reshape(c, oh, 2, ow, 2).mean(axis=(2, 4))
 
 
 def ms_ssim_rgb(img1: np.ndarray, img2: np.ndarray, win_size: int = 11,
@@ -58,13 +68,13 @@ def ms_ssim_rgb(img1: np.ndarray, img2: np.ndarray, win_size: int = 11,
     y = img2.astype(np.float64)
     levels = len(_WEIGHTS)
     mcs = []
-    ssim_val = 0.0
+    ssim_pc = None
     for i in range(levels):
-        ssim_val, cs = _ssim_cs(x, y, win, data_range)
+        ssim_pc, cs_pc = _ssim_cs(x, y, win, data_range)
         if i < levels - 1:
-            mcs.append(max(cs, 0.0))
+            mcs.append(np.maximum(cs_pc, 0.0))
             x = _avg_pool2(x)
             y = _avg_pool2(y)
-    result = np.prod(np.array(mcs) ** _WEIGHTS[:levels - 1]) * \
-        (max(ssim_val, 0.0) ** _WEIGHTS[-1])
-    return float(result)
+    stack = np.stack(mcs + [np.maximum(ssim_pc, 0.0)])  # (levels, C)
+    per_channel = np.prod(stack ** _WEIGHTS[:, None], axis=0)
+    return float(per_channel.mean())

@@ -116,7 +116,8 @@ def imresize(x, scale=None, sizes=None, kernel: str = "cubic",
     y = jnp.einsum("pw,...ow->...op", mw, y,
                    precision=jax.lax.Precision.HIGHEST)
     if orig_dtype != jnp.float32 and not jnp.issubdtype(orig_dtype, jnp.floating):
-        y = jnp.round(y)
-        if orig_dtype == jnp.uint8:
-            y = jnp.clip(y, 0, 255)
+        # bicubic overshoot must SATURATE, not wrap on the astype (uint16
+        # 10-16-bit frames overshoot past 65535 next to hard edges)
+        info = jnp.iinfo(orig_dtype)
+        y = jnp.clip(jnp.round(y), info.min, info.max)
     return y.astype(orig_dtype) if orig_dtype != jnp.float32 else y

@@ -163,3 +163,61 @@ def test_finite_guards_raise_on_nan():
         assert_finite("unit", x=jnp.array([jnp.inf]))
     with pytest.raises(FloatingPointError, match="y"):
         assert_finite_np("unit", y=np.array([np.nan]))
+
+
+def test_ms_ssim_rgb_matches_pytorch_msssim_algorithm():
+    """Oracle: a faithful torch replication of pytorch_msssim.ms_ssim
+    (gaussian valid-mode windows, F.avg_pool2d(kernel=2, padding=s%2)
+    downsampling with zeros counted, relu'd per-channel cs/ssim, product
+    over levels per channel, then channel mean).  Includes odd spatial
+    dims, which hit the zero-padded pooling path (1080p does at level 4)."""
+    import torch
+    import torch.nn.functional as F
+
+    from lssvc_tpu.utils.msssim_rgb import ms_ssim_rgb
+
+    def torch_ms_ssim(X, Y, data_range=1.0, win_size=11, win_sigma=1.5,
+                      K=(0.01, 0.03)):
+        weights = torch.tensor([0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+                               dtype=torch.float64)
+        coords = torch.arange(win_size, dtype=torch.float64) - win_size // 2
+        g = torch.exp(-(coords ** 2) / (2 * win_sigma ** 2))
+        g = (g / g.sum())
+        win = (g[:, None] @ g[None, :])[None, None]
+        C = X.shape[1]
+        win = win.repeat(C, 1, 1, 1)
+        C1 = (K[0] * data_range) ** 2
+        C2 = (K[1] * data_range) ** 2
+
+        def _ssim(X, Y):
+            mu1 = F.conv2d(X, win, groups=C)
+            mu2 = F.conv2d(Y, win, groups=C)
+            mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+            s1 = F.conv2d(X * X, win, groups=C) - mu1_sq
+            s2 = F.conv2d(Y * Y, win, groups=C) - mu2_sq
+            s12 = F.conv2d(X * Y, win, groups=C) - mu1_mu2
+            cs_map = (2 * s12 + C2) / (s1 + s2 + C2)
+            ssim_map = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs_map
+            return ssim_map.mean(dim=(2, 3)), cs_map.mean(dim=(2, 3))
+
+        mcs = []
+        ssim_pc = None
+        for i in range(len(weights)):
+            ssim_pc, cs = _ssim(X, Y)
+            if i < len(weights) - 1:
+                mcs.append(torch.relu(cs))
+                pad = [s % 2 for s in X.shape[2:]]
+                X = F.avg_pool2d(X, kernel_size=2, padding=pad)
+                Y = F.avg_pool2d(Y, kernel_size=2, padding=pad)
+        stack = torch.stack(mcs + [torch.relu(ssim_pc)])
+        val = torch.prod(stack ** weights.view(-1, 1, 1), dim=0)
+        return float(val.mean())
+
+    rng = np.random.default_rng(5)
+    for h, w in ((192, 256), (3 * 64 + 9, 180 + 7)):  # even + odd dims
+        a = rng.random((3, h, w))
+        b = np.clip(a + rng.normal(0, 0.03, a.shape), 0, 1)
+        ref = torch_ms_ssim(torch.tensor(a[None], dtype=torch.float64),
+                            torch.tensor(b[None], dtype=torch.float64))
+        ours = ms_ssim_rgb(a, b)
+        assert abs(ours - ref) < 1e-8, (h, w, ours, ref)
