@@ -137,15 +137,19 @@ def run_test(video_net, i_frame_net, args_dict, device=None):
 
         mv_el = warp_frame_el = context_el = None
         if frame_idx % gop_size == 0:
+            intra_rdo = bool(args_dict.get("intra_rdo"))
+            rdo_opt = args_dict.get("intra_rdo_opt")
             if write_stream:
                 result = i_frame_net.encode_decode(
                     x_bl_padded, x_el_padded, bin_bl, bin_el,
                     pic_height_bl=hb_pad, pic_width_bl=wb_pad,
-                    pic_height_el=he_pad, pic_width_el=we_pad)
+                    pic_height_el=he_pad, pic_width_el=we_pad,
+                    rdo=intra_rdo, rdo_opt=rdo_opt)
             else:
                 # direct jitted forward: bit counts stay on device so this
                 # frame's host metric work overlaps the next frame's compute
-                result = i_frame_net.forward(x_bl_padded, x_el_padded)
+                result = i_frame_net.forward(x_bl_padded, x_el_padded,
+                                             rdo=intra_rdo, rdo_opt=rdo_opt)
             dpb = {
                 "ref_frame_bl": result["x_hat_bl"],
                 "ref_frame_el": result["x_hat_el"],

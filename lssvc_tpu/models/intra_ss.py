@@ -112,16 +112,14 @@ def el_synthesis(params, y_hat, c1, c2, c3):
     return feature, x_hat
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def forward(params, x_bl, x_el, shape_hr, pad_size):
-    """Two-layer estimated-bpp forward (`IntraSS.py:137-172`)."""
-    bl = intra_noar.forward({k[len("base_layer_model."):]: v
-                             for k, v in params.items()
-                             if k.startswith("base_layer_model.")}, x_bl)
-    # `pad_size` is applied as-is (negative entries crop) — reference
-    # `get_depadded_feature` (`IntraSS.py:124-135`); the harness passes zeros.
-    x_bl_hat = pad_nhwc(bl["x_hat"], pad_size)
-    y_hat_bl = pad_nhwc(bl["y_hat"], tuple(int(v / 16) for v in pad_size))
+def _el_forward(params, x_el, bl_x_hat, bl_y_hat, bl_bit, shape_hr, pad_size):
+    """EL estimated-bpp body shared by the analysis and RDO entry points.
+
+    `pad_size` is applied as-is (negative entries crop) — reference
+    `get_depadded_feature` (`IntraSS.py:124-135`); the harness passes zeros.
+    """
+    x_bl_hat = pad_nhwc(bl_x_hat, pad_size)
+    y_hat_bl = pad_nhwc(bl_y_hat, tuple(int(v / 16) for v in pad_size))
 
     y, z, (c1, c2, c3) = el_analysis(params, x_el, x_bl_hat, shape_hr)
     p = P(params)
@@ -132,13 +130,43 @@ def forward(params, x_bl, x_el, shape_hr, pad_size):
     feature, x_hat = el_synthesis(params, y_hat, c1, c2, c3)
     bit_el = (jnp.sum(jnp.log(y_lik)) + jnp.sum(jnp.log(z_lik))) / (-LOG2)
     return {
-        "bit_bl": bl["bit"],
+        "bit_bl": bl_bit,
         "bit_el": bit_el,
-        "x_hat_bl": bl["x_hat"],
+        "x_hat_bl": bl_x_hat,
         "x_hat_el": x_hat,
         "feature_el": feature,
         "y_hat_el": y_hat,
     }
+
+
+def _bl_params(params):
+    return {k[len("base_layer_model."):]: v for k, v in params.items()
+            if k.startswith("base_layer_model.")}
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def forward(params, x_bl, x_el, shape_hr, pad_size):
+    """Two-layer estimated-bpp forward (`IntraSS.py:137-172`)."""
+    bl = intra_noar.forward(_bl_params(params), x_bl)
+    return _el_forward(params, x_el, bl["x_hat"], bl["y_hat"], bl["bit"],
+                       shape_hr, pad_size)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def forward_from_bl_latents(params, x_el, y_bl, z_bl, _unused, shape_hr,
+                            pad_size):
+    """Estimated-bpp forward from externally refined BL latents — the
+    RDO path (`--intra_rdo`): `models/rdo.py:global_rdo` refines (y, z)
+    against the BL RD loss, then this program codes both layers from the
+    refined latents (reference contract: `priors.py:315-331` feeding
+    `get_y_z(rdo=True)` at `priors.py:573-576`)."""
+    blp = _bl_params(params)
+    y_hat, _, y_lik, z_lik, _, _ = intra_noar.hyper_synthesis_quantize(
+        blp, y_bl, z_bl)
+    x_hat_bl = intra_noar.g_s(P(blp).sub("g_s"), y_hat)
+    bit_bl = (jnp.sum(jnp.log(y_lik)) + jnp.sum(jnp.log(z_lik))) / (-LOG2)
+    return _el_forward(params, x_el, x_hat_bl, y_hat, bit_bl,
+                       shape_hr, pad_size)
 
 
 class IntraSS(Model):
@@ -177,14 +205,28 @@ class IntraSS(Model):
             self._bl = intra_noar.IntraNoAR(bl_params, N=self.channel_BL)
         return self._bl
 
-    def forward(self, x_bl, x_el):
+    def forward(self, x_bl, x_el, rdo=False, rdo_opt=None):
+        if rdo:
+            y, z = self._refined_bl_latents(x_bl, rdo_opt)
+            return forward_from_bl_latents(self.params, x_el, y, z, None,
+                                           self.shape_hr, self.pad_size)
         return forward(self.params, x_bl, x_el, self.shape_hr, self.pad_size)
+
+    def _refined_bl_latents(self, x_bl, rdo_opt):
+        """BL analysis latents refined by latent-domain RDO
+        (`models/rdo.py`, reference `priors.py:315-331,573-576`)."""
+        from .rdo import global_rdo
+
+        bl = self.base_layer_model
+        y, z = bl.get_y_z(x_bl)
+        return global_rdo(bl.params, y, z, x_bl, rdo_opt)
 
     def encode_decode(self, x_bl, x_el, bin_path_bl, bin_path_el,
                       pic_height_bl=None, pic_width_bl=None,
-                      pic_height_el=None, pic_width_el=None):
+                      pic_height_el=None, pic_width_el=None,
+                      rdo=False, rdo_opt=None):
         if bin_path_bl is None:
-            out = self.forward(x_bl, x_el)
+            out = self.forward(x_bl, x_el, rdo=rdo, rdo_opt=rdo_opt)
             return {
                 "bit_bl": float(out["bit_bl"]),
                 "bit_el": float(out["bit_el"]),
@@ -196,7 +238,8 @@ class IntraSS(Model):
 
         return encode_decode_stream(self, x_bl, x_el, bin_path_bl, bin_path_el,
                                     pic_height_bl, pic_width_bl,
-                                    pic_height_el, pic_width_el)
+                                    pic_height_el, pic_width_el,
+                                    rdo=rdo, rdo_opt=rdo_opt)
 
     def update(self, force=False):
         from ..entropy.coder import IntraCoder

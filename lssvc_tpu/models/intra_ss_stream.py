@@ -47,7 +47,7 @@ def _el_synthesis_jit(params, y_hat, c1, c2, c3):
 
 def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
                     pic_height_bl, pic_width_bl,
-                    pic_height_el, pic_width_el):
+                    pic_height_el, pic_width_el, rdo=False, rdo_opt=None):
     """Encode-only IntraSS: writes both .bin files and returns the
     DECODER-exact reconstructions without a host rANS decode.
 
@@ -66,6 +66,13 @@ def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
     pad = model.pad_size
 
     y_bl, z_bl = bl.get_y_z(x_bl)
+    if rdo:
+        # latent-domain RDO on the BL before coding (`--intra_rdo`;
+        # reference contract `priors.py:315-331,573-576`) — the decoder
+        # is unchanged: refined latents quantize/code like any others
+        from .rdo import global_rdo
+
+        y_bl, z_bl = global_rdo(bl.params, y_bl, z_bl, x_bl, rdo_opt)
     compressed = bl.compress(y=y_bl, z=z_bl, with_recon=True)
     encode_i(pic_height_bl, pic_width_bl, compressed["strings"][0][0],
              compressed["strings"][1][0], bin_path_bl)
@@ -104,10 +111,12 @@ def compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
 
 def encode_decode_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
                          pic_height_bl, pic_width_bl,
-                         pic_height_el, pic_width_el):
+                         pic_height_el, pic_width_el, rdo=False,
+                         rdo_opt=None):
     enc = compress_stream(model, x_bl, x_el, bin_path_bl, bin_path_el,
                           pic_height_bl, pic_width_bl,
-                          pic_height_el, pic_width_el)
+                          pic_height_el, pic_width_el, rdo=rdo,
+                          rdo_opt=rdo_opt)
     dec = decompress_stream(model, bin_path_bl, bin_path_el)
     dec["bit_bl"] = enc["bit_bl"]
     dec["bit_el"] = enc["bit_el"]

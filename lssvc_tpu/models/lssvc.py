@@ -143,13 +143,14 @@ def el_motion_compensation(p, ref_el, feature_el, mv):
     # warp kernels' half-traffic bf16 boundary path (f32 in parity mode).
     from ..ops.nn import compute_dtype
 
-    fmax = jnp.max(jnp.abs(mv))
+    fx_max = jnp.max(jnp.abs(mv[..., 0]))
+    fy_max = jnp.max(jnp.abs(mv[..., 1]))
     warpframe, c1_init = flow_warp_pair(ref_el.astype(compute_dtype()),
-                                        f1, mv, fmax=fmax)
+                                        f1, mv, fmax=(fx_max, fy_max))
     c1 = offset_diversity(p.sub("align"), f1,
                           jnp.concatenate([c1_init, warpframe, mv], axis=-1), mv)
-    c2 = flow_warp(f2, mv2, fmax=0.5 * fmax)
-    c3 = flow_warp(f3, mv3, fmax=0.25 * fmax)
+    c2 = flow_warp(f2, mv2, fmax=(0.5 * fx_max, 0.5 * fy_max))
+    c3 = flow_warp(f3, mv3, fmax=(0.25 * fx_max, 0.25 * fy_max))
     c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)
     return (c1, c2, c3), warpframe
 

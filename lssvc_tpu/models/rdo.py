@@ -95,6 +95,7 @@ def global_rdo(params, y, z, x_padded, rdo_opt):
     rdo_opt = rdo_opt or {}
     best_y, best_z, _ = bits_rdo(
         params, y, z, x_padded, rdo_opt.get("lmbda", 0.01),
+        max_iter=rdo_opt.get("max_iter", 3000),
         iter_to_exit=rdo_opt.get("iter_to_exit", 60),
         iter_to_reduce=rdo_opt.get("iter_to_reduce", 20))
     return best_y, best_z

@@ -1075,6 +1075,9 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
         # (shard_map halo exchange; Pallas kernels run shard-locally)
         from ..parallel.spatial import flow_warp_sharded_auto
 
+        if isinstance(fmax, (tuple, list)):  # sharded bound check is scalar
+            fmax = jnp.maximum(jnp.asarray(fmax[0], jnp.float32),
+                               jnp.asarray(fmax[1], jnp.float32))
         return flow_warp_sharded_auto(x, flow, spatial_ctx.MESH,
                                       spatial_ctx.HALO, spatial_ctx.AXIS,
                                       fmax=fmax)
@@ -1093,6 +1096,15 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
     if fmax is None:
         fx_max = jnp.max(jnp.abs(fx))
         fy_max = jnp.max(jnp.abs(fy))
+        fmax = jnp.maximum(fx_max, fy_max)
+        in_bounds = (fx_max <= d_h - 1) & (fy_max <= d_v - 1)
+    elif isinstance(fmax, (tuple, list)):
+        # per-axis bounds (fx_max, fy_max): the windowed tier's horizontal
+        # window (d_h-1=62) is much wider than its vertical one (d_v-1=26);
+        # a collapsed scalar bound would send |fx| in (26, 62] flows to the
+        # slow lowmem fallback even though the kernel handles them
+        fx_max = jnp.asarray(fmax[0], jnp.float32)
+        fy_max = jnp.asarray(fmax[1], jnp.float32)
         fmax = jnp.maximum(fx_max, fy_max)
         in_bounds = (fx_max <= d_h - 1) & (fy_max <= d_v - 1)
     else:

@@ -228,6 +228,7 @@ def flow_warp_spatial(x, flow, mesh: Mesh, halo: int, axis: str = "h"):
     is what non-TPU backends run anyway.
     """
     h_total = x.shape[1]
+    _check_shard_height(h_total, mesh, halo, axis)
 
     def local(x_l, flow_l):
         x_pad = _pad_rows_from_neighbours(x_l, halo, axis)
@@ -237,6 +238,19 @@ def flow_warp_spatial(x, flow, mesh: Mesh, halo: int, axis: str = "h"):
     spec = PS(None, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec),
                      out_specs=spec)(x, flow)
+
+
+def _check_shard_height(h_total, mesh, halo, axis):
+    """_pad_rows_from_neighbours exchanges rows with IMMEDIATE neighbours
+    only; if a shard is shorter than the halo, the padded strip silently
+    holds wrong rows (the *_auto variants route through _padded_strip,
+    which multi-hops — these direct wrappers must refuse instead)."""
+    n = mesh.shape[axis]
+    if h_total // n < halo:
+        raise ValueError(
+            f"per-shard height {h_total}//{n}={h_total // n} < halo {halo}: "
+            f"single-hop neighbour exchange cannot supply the halo; use the "
+            f"*_sharded_auto/_auto variants (multi-hop strip) or fewer shards")
 
 
 def _shard_map_norep(local, mesh, in_specs, out_specs):
@@ -371,6 +385,8 @@ def grouped_warp_spatial(x, flow_x, flow_y, mask, group_num: int,
     would, including its border clamp.
     """
     from ..ops.warp import grouped_warp_lowmem
+
+    _check_shard_height(x.shape[1], mesh, halo, axis)
 
     def local(x_l, fx_l, fy_l, m_l):
         x_pad = _pad_rows_from_neighbours(x_l, halo, axis)

@@ -103,6 +103,17 @@ def build_tasks(args, config):
                         "video_model_path": args.model_path[model_idx],
                         "video_model_name": args.model_name,
                         "force_intra": args.force_intra,
+                        # latent-domain RDO on the intra BL (functional,
+                        # unlike the reference's parsed-but-dead flags at
+                        # its test.py:45-56): lmbda comes from the
+                        # per-model --intra_lmbda list
+                        "intra_rdo": args.intra_rdo,
+                        "intra_rdo_opt": ({
+                            "lmbda": (args.intra_lmbda[model_idx]
+                                      if args.intra_lmbda else 0.01),
+                            "iter_to_exit": args.intra_rdo_iter_to_exit,
+                            "iter_to_reduce": args.intra_rdo_iter_to_reduce,
+                        } if args.intra_rdo else None),
                         "video_path": seq_name,
                         "gop": (1 if args.force_intra
                                 else (args.force_intra_period

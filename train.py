@@ -345,8 +345,10 @@ def main():
             if step % args.save_every < scan_k or step >= args.steps:
                 path = f"{args.out}_step{label}.npz"
                 save_params(path, params, metadata={"step": label})
+                # store the same clamped label: a resume from this file must
+                # not start beyond the step count it was saved under
                 save_train_state(path[:-len(".npz")] + ".state.npz", params,
-                                 opt_state, step)
+                                 opt_state, label)
                 print(f"saved {path}")
     else:
         for step in range(step0 + 1, args.steps + 1):
