@@ -60,6 +60,14 @@ _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
 # with (8, 128) indices.  Kept for the record; interpret mode only.
 _USE_ROLL = os.environ.get("LSSVC_WARP_ROLL", "0") == "1"
 _USE_WIDE = os.environ.get("LSSVC_WARP_WIDE", "0") == "1"
+# LSSVC_WARP_NHWC_OUT selects the fused-boundary tiny-tier variant: the
+# kernel transposes each output tile in-register (MXU identity-dot, exact
+# for bf16 AND f32 — multiply-by-1 against non-overlapping bf16x3 splits
+# reassembles f32 exactly) and stores NHWC directly, eliminating the
+# planar->NHWC XLA transpose pass over the full-res tensor.
+#   "1" = identity-dot transpose (MXU), "t" = jnp.transpose (Mosaic
+#   relayout), "0" = off (planar store + XLA transpose).
+_NHWC_OUT = os.environ.get("LSSVC_WARP_NHWC_OUT", "0")
 
 
 def _pad_to(v, m):
@@ -242,8 +250,26 @@ def _warp_kernel_smallflow(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
     jax.lax.fori_loop(0, n_chan, chan_body, 0)
 
 
+def _tile_transpose(a, mode):
+    """In-kernel (C, TILE_C) -> (TILE_C, C) tile transpose.
+
+    mode "1": identity-dot on the MXU — dot(I[TILE_C,TILE_C], A,
+    contract dim1 x dim1) = A^T.  Exact in bf16 (single product, f32
+    accumulate) and in f32 (the bf16x3 split is a non-overlapping exact
+    decomposition; x1.0 reassembles it losslessly).  mode "t": Mosaic's
+    native relayout transpose.
+    """
+    if mode == "t":
+        return jnp.transpose(a)
+    n = a.shape[1]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(a.dtype)
+    return jax.lax.dot_general(eye, a, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
-                        *, b, d_v, d_h, h, w, n_chan, tr):
+                        *, b, d_v, d_h, h, w, n_chan, tr, nhwc_out="0"):
     """Small-flow kernel, channel-blocked: source window lives as
     (win_r, C, win_c) so one (8-channel, 128-lane) vreg load + lane gather
     serves 8 channels at once — 8x fewer dynamic gathers than the
@@ -292,6 +318,7 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
         rp_lo, rp_hi = d_v + 1 - b, d_v + 1 + b + 2
         # per-tap-row vertical weights, shared across chunks and channels
         vws = {}
+        accs = []
         for cb in range(n_cb):
             # chunk contributions accumulate in-register (f32), one store
             # per (row, channel block) — out_ref may be bf16
@@ -323,8 +350,17 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                         acc = tap(rp, acc)
                 else:  # mid tier (large window): dynamic tap loop
                     acc = jax.lax.fori_loop(rp_lo, rp_hi, tap, acc)
-            out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
-                acc.astype(out_ref.dtype)
+            if nhwc_out != "0":
+                accs.append(acc.astype(out_ref.dtype))
+            else:
+                out_ref[i, cb * _VREG_R:(cb + 1) * _VREG_R, :] = \
+                    acc.astype(out_ref.dtype)
+        if nhwc_out != "0":
+            # fused output relayout: rounding point (astype above) is
+            # identical to the planar store, so results are bit-equal
+            a = accs[0] if n_cb == 1 else jnp.concatenate(accs, axis=0)
+            out_ref[i, :, :] = _tile_transpose(a, nhwc_out
+                                               ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -510,13 +546,23 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                               (d_h + 1, d_h + 1 + TILE_C)))
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
+    nhwc_out = _NHWC_OUT if not (_USE_ROLL or _USE_WIDE) else "0"
     kernel = (_warp_kernel_cblock_roll if _USE_ROLL
               else _warp_kernel_cblock_wide if _USE_WIDE
-              else _warp_kernel_cblock)
+              else functools.partial(_warp_kernel_cblock,
+                                     nhwc_out=nhwc_out))
+    if nhwc_out != "0":
+        out_shape = jax.ShapeDtypeStruct((hp, wp, c), dt)
+        out_specs = pl.BlockSpec((tr, TILE_C, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((hp, c, wp), dt)
+        out_specs = pl.BlockSpec((tr, c, TILE_C), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(kernel, b=b, d_v=d_v, d_h=d_h,
                           h=h, w=w, n_chan=c, tr=tr),
-        out_shape=jax.ShapeDtypeStruct((hp, c, wp), dt),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
@@ -525,8 +571,7 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((tr, c, TILE_C), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((win_r, c, win_c), dt),
             pltpu.SemaphoreType.DMA,
@@ -535,11 +580,14 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flow_x[0], flow_y[0], padded)
+    if nhwc_out != "0":
+        return out[None, :h, :w, :]
     return jnp.transpose(out, (0, 2, 1))[None, :h, :w, :]
 
 
 def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
-                                win_ref, sem, *, b, d_v, d_h, h, w, go, tr):
+                                win_ref, sem, *, b, d_v, d_h, h, w, go, tr,
+                                nhwc_out="0"):
     """Grouped small-flow kernel, channel-blocked: the source arrives
     PRE-EXPANDED to block layout (H, go*cg, W) (channel c' = k*go + j is
     unit j's source channel k), so a block of 8 consecutive c' within one k
@@ -555,7 +603,8 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
     win_r = tr + 2 * d_v + 2
     win_c = TILE_C + 2 * d_h + 2
     n_cu = win_c // TILE_C
-    c_blk = out_ref.shape[0]  # go * cg
+    # block-layout channel count go*cg (dim 0 planar, dim 2 NHWC-out)
+    c_blk = out_ref.shape[2] if nhwc_out != "0" else out_ref.shape[0]
     cg = c_blk // go
     n_ub = go // _VREG_R
     one = jnp.float32(1.0)
@@ -570,6 +619,7 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
 
     def row_body(i, _):
         iy = (ti * tr + i).astype(jnp.float32)
+        accs = {}
         for ub in range(n_ub):
             us = ub * _VREG_R
             fx = fx_ref[i, us:us + _VREG_R, :]
@@ -604,8 +654,17 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                         g1 = jnp.take_along_axis(v, i1, axis=1)
                         acc = acc + (g0 * w0 + g1 * w1) * vw
                 m = mask_ref[i, us:us + _VREG_R, :]
-                out_ref[k * go + us:k * go + us + _VREG_R, i, :] = \
-                    (acc * m).astype(out_ref.dtype)
+                if nhwc_out != "0":
+                    accs[k * go + us] = (acc * m).astype(out_ref.dtype)
+                else:
+                    out_ref[k * go + us:k * go + us + _VREG_R, i, :] = \
+                        (acc * m).astype(out_ref.dtype)
+        if nhwc_out != "0":
+            # fused output relayout in channel order (same rounding point
+            # as the planar store -> bit-equal results)
+            a = jnp.concatenate([accs[cs] for cs in sorted(accs)], axis=0)
+            out_ref[i, :, :] = _tile_transpose(a, nhwc_out
+                                               ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -663,10 +722,21 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
 
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
+    if _NHWC_OUT != "0":
+        out_shape = jax.ShapeDtypeStruct((hp, wp, go * cg), dt)
+        out_specs = pl.BlockSpec((tr, TILE_C, go * cg),
+                                 lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((go * cg, hp, wp), dt)
+        out_specs = pl.BlockSpec((go * cg, tr, TILE_C),
+                                 lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_grouped_warp_kernel_cblock, b=b, d_v=d_v,
-                          d_h=d_h, h=h, w=w, go=go, tr=tr),
-        out_shape=jax.ShapeDtypeStruct((go * cg, hp, wp), dt),
+                          d_h=d_h, h=h, w=w, go=go, tr=tr,
+                          nhwc_out=_NHWC_OUT),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, go, TILE_C), lambda i, j: (i, 0, j),
@@ -677,9 +747,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((go * cg, tr, TILE_C),
-                               lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((win_r, go * cg, win_c), dt),
             pltpu.SemaphoreType.DMA,
@@ -688,6 +756,8 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(fxp, fyp, mp, padded)
+    if _NHWC_OUT != "0":
+        return out[None, :h, :w, :]
     return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
 
 

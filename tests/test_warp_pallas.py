@@ -8,6 +8,7 @@ true-border (not padded-border) clamping.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from lssvc_tpu.ops.warp import flow_warp, flow_warp_grouped
@@ -318,3 +319,42 @@ def test_cblock_roll_kernel_exact(monkeypatch):
     out = wp._flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
                                       D_H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", ["1", "t"])
+def test_cblock_nhwc_out_matches_planar(monkeypatch, mode):
+    """LSSVC_WARP_NHWC_OUT fuses the output relayout into the tiny-tier
+    kernels (in-register tile transpose, NHWC store) — same math, same
+    rounding points; tolerance covers FMA-contraction differences the
+    backend makes across the changed fusion boundary (one element in ~1M
+    under heavy cancellation).  Fresh shapes so the flag is seen at trace
+    time."""
+    import jax
+
+    import lssvc_tpu.ops.warp_pallas as wp
+
+    rng = np.random.default_rng(91)
+    x = _rand((1, 22, 150, 16), 92)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 22, 150, 2))
+                       .astype(np.float32))
+    ref_single = wp._flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1],
+                                             2, D_V, D_H)
+    go, c_src = 16, 4
+    xg = _rand((1, 22, 150, c_src), 93)
+    fxg = jnp.asarray(rng.uniform(-2, 2, (1, 22, 150, go)).astype(np.float32))
+    fyg = jnp.asarray(rng.uniform(-2, 2, (1, 22, 150, go)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 1, (1, 22, 150, go)).astype(np.float32))
+    ref_grouped = wp._grouped_warp_pallas_cblock(xg, fxg, fyg, m, 4,
+                                                 2, D_V, D_H)
+
+    monkeypatch.setattr(wp, "_NHWC_OUT", mode)
+    jax.clear_caches()
+    out_single = wp._flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1],
+                                             2, D_V, D_H)
+    out_grouped = wp._grouped_warp_pallas_cblock(xg, fxg, fyg, m, 4,
+                                                 2, D_V, D_H)
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(out_single), np.asarray(ref_single),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_grouped),
+                               np.asarray(ref_grouped), atol=2e-6)

@@ -60,12 +60,19 @@ def parse_args():
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="if >0, cosine-decay the LR to lr/100 over this "
                         "many steps")
-    p.add_argument("--scan-steps", type=int, default=8,
+    p.add_argument("--scan-steps", type=int, default=0,
                    help="optimizer steps chained per device program via "
                         "lax.scan (amortizes host->device dispatch latency, "
                         "which dominates at training crop sizes through the "
-                        "remote-device tunnel); 1 = one dispatch per step")
-    return p.parse_args()
+                        "remote-device tunnel); 1 = one dispatch per step; "
+                        "0 = auto (8, but 2 for --stage cascade: compile "
+                        "memory scales with frames x chained steps and the "
+                        "8x 3-frame cascade graph OOM-kills the remote "
+                        "compile helper)")
+    args = p.parse_args()
+    if args.scan_steps <= 0:
+        args.scan_steps = 2 if args.stage == "cascade" else 8
+    return args
 
 
 class SyntheticPairs:
