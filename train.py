@@ -71,7 +71,19 @@ def parse_args():
                         "compile helper)")
     args = p.parse_args()
     if args.scan_steps <= 0:
-        args.scan_steps = 2 if args.stage == "cascade" else 8
+        args.scan_steps = 8  # scan body is traced ONCE; length is free
+    if args.stage == "cascade":
+        # the 3-frame cascade body (3 two-layer forwards + backward,
+        # ~1.48 MB MLIR) deterministically OOM-kills the chipless AOT
+        # compile helper on this box; the 2-frame body is ~the size of
+        # the --stage full graph, which compiles.  Override with
+        # LSSVC_CASCADE_FRAMES when the helper has more memory.
+        cap = int(os.environ.get("LSSVC_CASCADE_FRAMES", "2"))
+        if args.frames > cap:
+            print(f"cascade frames {args.frames} -> {cap} "
+                  f"(compile-helper memory cap; set LSSVC_CASCADE_FRAMES "
+                  f"to raise)", flush=True)
+            args.frames = cap
     return args
 
 
