@@ -37,13 +37,16 @@ def parse_args():
     p.add_argument("--yuv_out", required=True, help="EL output YUV path")
     p.add_argument("--yuv_out_bl", default=None, help="BL output YUV path")
     p.add_argument("--precision", default="fp32",
-                   choices=["fp32", "high", "bf16"],
+                   choices=["fp32", "high", "bf16", "int8"],
                    help="MUST match the precision the stream was encoded "
                         "with: the scale-index planes are derived by the "
                         "same jitted stages on both sides, and a "
                         "precision mismatch flips quantized index buckets "
                         "and desynchronizes the rANS stream (closed-loop "
                         "contract, models/dmc_stream.py)")
+    p.add_argument("--int8_calib", default=None,
+                   help="for --precision int8: the SAME calibration table "
+                        "the encoder used (tools/int8_calibrate.py)")
     return p.parse_args()
 
 
@@ -60,11 +63,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from lssvc_tpu.ops import set_precision_mode
+    from lssvc_tpu.ops.nn import apply_precision_cli
     from lssvc_tpu.parallel.scheduler import _load_net as load_model
     from lssvc_tpu.utils.cache import enable_compile_cache
 
-    set_precision_mode(args.precision)
+    apply_precision_cli(args.precision, args.int8_calib)
     enable_compile_cache()
 
     from lssvc_tpu.harness.runner import RATIO_FACTORS, _to_host_chw

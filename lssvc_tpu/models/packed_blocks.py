@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import leaky_relu
+from ..ops import int8 as q8
 from ..ops.nn import conv2d
 from ..ops.packed import (
     pack_bias,
@@ -31,9 +32,46 @@ from ..ops.packed import (
 P = 2  # pack factor: doubles the channel dim, halves rows
 
 
+def _pconv_int8(scope, x_pk, w, s_in, stride, p, pack_fn, bkey="bias"):
+    """w8a8 integer conv with float glue (docs/PERFORMANCE.md §north-star):
+    quantize the input per-tensor, quantize the kernel per-output-channel,
+    run the s8 x s8 -> s32 MXU conv, dequantize + bias in the epilogue.
+    The quantize/dequantize passes are elementwise and fuse; the MXU runs
+    at its 2x integer peak.  Weight quant + packing are kernel-sized ops
+    (XLA hoists them next to the conv; negligible at frame shapes)."""
+    from ..ops.int8 import int8_conv2d, quant_act, quant_weight
+
+    w8, w_scale = quant_weight(w)
+    pw8, (pl, pr) = pack_fn(w8, p, stride)
+    kh = w.shape[0]
+    acc = int8_conv2d(quant_act(x_pk, s_in), pw8, stride=(stride, stride),
+                      padding=((kh // 2, kh // 2), (pl, pr)))
+    mult = jnp.float32(s_in) * jnp.tile(w_scale, p)
+    y = acc.astype(jnp.float32) * mult + pack_bias(scope(bkey), p)
+    from ..ops.nn import _pref_out
+
+    return y.astype(_pref_out())
+
+
+def _calib_key(prefix: str, w) -> str:
+    """Calibration key: scope prefix + unpacked kernel channel shape.
+
+    IntraSS and LSSVC share 24 scope prefixes (texture_extractor.*,
+    context_fusion_net.*) but every shared PACKED site differs in channel
+    widths (video 48ch vs intra 64ch), so the shape suffix disambiguates
+    the flat global table without threading a model namespace through
+    every forward (tests/test_int8.py::test_calib_keys_disambiguate)."""
+    return f"{prefix}{w.shape[2]}x{w.shape[3]}"
+
+
 def pconv(scope, x_pk, stride: int = 1, p: int = P):
     """Packed conv from a weight/bias scope (stride 1 or 2, odd kernels)."""
     w = scope("weight")
+    key = _calib_key(scope.prefix, w)
+    q8.maybe_record(key, x_pk)
+    s_in = q8.scale_for(key)
+    if s_in is not None:
+        return _pconv_int8(scope, x_pk, w, s_in, stride, p, pack_kernel_jnp)
     pw, (pl, pr) = pack_kernel_jnp(w, p, stride)
     kh = w.shape[0]
     return conv2d(x_pk, pw, pack_bias(scope("bias"), p),
@@ -44,6 +82,13 @@ def pconv(scope, x_pk, stride: int = 1, p: int = P):
 def pconv_dw(scope, x_pk):
     """Packed depthwise 3x3 (dense-ified; see pack_depthwise_kernel)."""
     w = scope("depth_conv.weight")
+    key = _calib_key(scope.prefix + "depth_conv.", w)
+    q8.maybe_record(key, x_pk)
+    s_in = q8.scale_for(key)
+    if s_in is not None:
+        return _pconv_int8(scope, x_pk, w, s_in, 1, P,
+                           pack_depthwise_kernel_jnp,
+                           bkey="depth_conv.bias")
     pw, (pl, pr) = pack_depthwise_kernel_jnp(w, P, 1)
     return conv2d(x_pk, pw, pack_bias(scope("depth_conv.bias"), P),
                   padding=((1, 1), (pl, pr)))

@@ -55,8 +55,15 @@ def set_precision_mode(mode: str):
       'bf16'  — bf16 operands AND outputs, f32 MXU accumulation (serving
                 throughput; bf16 outputs measured +15% over f32 outputs on
                 the 1080p two-layer bench: 1.135 vs 0.987 fps)
+      'int8'  — bf16 everywhere EXCEPT calibrated packed conv sites, which
+                run s8 x s8 -> s32 on the MXU (2x bf16 peak; ops/int8.py).
+                Requires a calibration table (int8.set_calibration) —
+                uncalibrated sites silently keep the bf16 path.
     """
     global _DEFAULT_CONV_PRECISION
+    from . import int8 as _q8
+
+    _q8.set_int8_mode(mode == "int8")
     if mode == "fp32":
         set_compute_dtype("float32")
         set_bf16_outputs(False)
@@ -64,11 +71,34 @@ def set_precision_mode(mode: str):
         set_compute_dtype("float32")
         set_bf16_outputs(False)
         _DEFAULT_CONV_PRECISION = lax.Precision.HIGH
-    elif mode == "bf16":
+    elif mode in ("bf16", "int8"):
         set_compute_dtype("bfloat16")
         set_bf16_outputs(True)
     else:
         raise ValueError(mode)
+
+
+def apply_precision_cli(mode: str, int8_calib: str | None = None):
+    """CLI entry-point preset: `set_precision_mode` plus the int8 extras.
+
+    `--precision int8` needs a calibration table (tools/int8_calibrate.py)
+    and the width-packed domain (the s8 sites live in the packed blocks);
+    every other mode passes through.  Both encoder (test.py) and decoder
+    (decode.py) MUST use the same table — the closed-loop stream contract
+    extends to activation scales."""
+    if mode == "int8":
+        if not int8_calib:
+            raise SystemExit(
+                "--precision int8 requires --int8_calib <table.json> "
+                "(produce one with tools/int8_calibrate.py)")
+        import json
+
+        from . import int8 as _q8
+
+        with open(int8_calib) as f:
+            _q8.set_calibration(json.load(f))
+        set_packed_width(2)
+    set_precision_mode(mode)
 
 
 def compute_dtype():

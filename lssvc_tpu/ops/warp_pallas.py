@@ -67,7 +67,12 @@ _USE_WIDE = os.environ.get("LSSVC_WARP_WIDE", "0") == "1"
 # planar->NHWC XLA transpose pass over the full-res tensor.
 #   "1" = identity-dot transpose (MXU), "t" = jnp.transpose (Mosaic
 #   relayout), "0" = off (planar store + XLA transpose).
-_NHWC_OUT = os.environ.get("LSSVC_WARP_NHWC_OUT", "0")
+# Default "1": measured best on-chip (1.582 fps vs 1.579 for "t" at
+# two-layer 1080p, runs/chip_abs_r3.log) and it sidesteps the planar
+# store entirely (the 2026-08 Mosaic update rejects dynamic sublane-dim
+# stores; the planar path now stores row-planar instead, see
+# _grouped_warp_kernel_cblock).
+_NHWC_OUT = os.environ.get("LSSVC_WARP_NHWC_OUT", "1")
 
 
 def _pad_to(v, m):
@@ -603,8 +608,8 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
     win_r = tr + 2 * d_v + 2
     win_c = TILE_C + 2 * d_h + 2
     n_cu = win_c // TILE_C
-    # block-layout channel count go*cg (dim 0 planar, dim 2 NHWC-out)
-    c_blk = out_ref.shape[2] if nhwc_out != "0" else out_ref.shape[0]
+    # block-layout channel count go*cg (dim 1 row-planar, dim 2 NHWC-out)
+    c_blk = out_ref.shape[2] if nhwc_out != "0" else out_ref.shape[1]
     cg = c_blk // go
     n_ub = go // _VREG_R
     one = jnp.float32(1.0)
@@ -657,7 +662,11 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                 if nhwc_out != "0":
                     accs[k * go + us] = (acc * m).astype(out_ref.dtype)
                 else:
-                    out_ref[k * go + us:k * go + us + _VREG_R, i, :] = \
+                    # row-planar store: dynamic index on the untiled major
+                    # dim, static 8-aligned sublane slice (a dynamic
+                    # SUBLANE index here is rejected by Mosaic — the
+                    # 2026-08 compile-helper update enforces it)
+                    out_ref[i, k * go + us:k * go + us + _VREG_R, :] = \
                         (acc * m).astype(out_ref.dtype)
         if nhwc_out != "0":
             # fused output relayout in channel order (same rounding point
@@ -728,9 +737,11 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
                                  lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((go * cg, hp, wp), dt)
-        out_specs = pl.BlockSpec((go * cg, tr, TILE_C),
-                                 lambda i, j: (0, i, j),
+        # row-planar (hp, go*cg, wp): the kernel stores full 8-channel
+        # sublane slices at static offsets per row (see store comment)
+        out_shape = jax.ShapeDtypeStruct((hp, go * cg, wp), dt)
+        out_specs = pl.BlockSpec((tr, go * cg, TILE_C),
+                                 lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_grouped_warp_kernel_cblock, b=b, d_v=d_v,
@@ -758,7 +769,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
     )(fxp, fyp, mp, padded)
     if _NHWC_OUT != "0":
         return out[None, :h, :w, :]
-    return jnp.transpose(out, (1, 2, 0))[None, :h, :w, :]
+    return jnp.transpose(out, (0, 2, 1))[None, :h, :w, :]
 
 
 def _grouped_warp_kernel_smallflow(fx_ref, fy_ref, mask_ref, x_ref, out_ref,

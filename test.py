@@ -75,9 +75,16 @@ def parse_args():
     parser.add_argument("--verbose", type=int, default=0)
     parser.add_argument("--model_name", type=str, default="LSSVC_net")
     parser.add_argument("--precision", type=str, default="fp32",
-                        choices=["fp32", "high", "bf16"],
+                        choices=["fp32", "high", "bf16", "int8"],
                         help="compute precision: fp32 = reference parity, "
-                             "high = 3-pass bf16 matmuls, bf16 = throughput")
+                             "high = 3-pass bf16 matmuls, bf16 = throughput, "
+                             "int8 = s8 MXU convs at calibrated sites "
+                             "(needs --int8_calib)")
+    parser.add_argument("--int8_calib", type=str, default=None,
+                        help="activation-scale table JSON from "
+                             "tools/int8_calibrate.py (required for "
+                             "--precision int8; decode side must use the "
+                             "same table)")
     parser.add_argument("--ratios", type=str, nargs="+",
                         default=["x2", "x1_5"],
                         help="BL downscale ratios to evaluate")
@@ -169,9 +176,9 @@ def main():
 
     enable_compile_cache()
 
-    from lssvc_tpu.ops import set_precision_mode
+    from lssvc_tpu.ops.nn import apply_precision_cli
 
-    set_precision_mode(args.precision)
+    apply_precision_cli(args.precision, args.int8_calib)
 
     with open(args.test_config) as f:
         config = json.load(f)

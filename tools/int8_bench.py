@@ -14,6 +14,9 @@ Variants:
   bf16       packed conv stack, bf16 in/out (today's serving config)
   int8_conv  s8 x s8 -> s32 conv_general_dilated + per-layer requant
              (scale, clamp, cast back to s8 — the honest loop shape)
+  int8_fx    s8 conv + ALL-INTEGER fixed-point requant (multiply+shift,
+             ops/int8.py requant_fixed) — the chainable epilogue without
+             the f32 scale/round pass
   int8_mm    tap-sum matmul formulation: a k-tap conv is k shifted
              (H*W, Cin) @ (Cin, Cout) int8 matmuls accumulated in s32
   int8_noreq int8_conv without requant (pure MXU+traffic bound)
@@ -107,6 +110,28 @@ def main():
             accs = (acc >> 9).astype(jnp.int8)  # cheap shift requant
         return accs
 
+    # all-integer fixed-point requant (ops/int8.py requant_fixed): the
+    # honest chainable epilogue without the f32 scale/round pass
+    from lssvc_tpu.ops.int8 import fixed_point_multiplier
+
+    fx = []
+    for w8 in ws8:
+        M, post, ash = fixed_point_multiplier(
+            1 / 32, np.full((C,), 2e-3 * 32, np.float64), 1.0,
+            w_q=np.asarray(w8))
+        fx.append((jnp.asarray(M), jnp.asarray(post), jnp.asarray(ash)))
+
+    @jax.jit
+    def f_int8_fx(x):
+        from lssvc_tpu.ops.int8 import requant_fixed
+
+        for w, (M, post, ash) in zip(ws8, fx):
+            acc = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            x = requant_fixed(acc, M, post, ash, relu=True)
+        return x
+
     @jax.jit
     def f_int8_mm(x):
         for w in ws8:
@@ -127,6 +152,7 @@ def main():
     results = {}
     for name, fn, x in (("bf16", f_bf16, x16),
                         ("int8_conv", f_int8_conv, x8),
+                        ("int8_fx", f_int8_fx, x8),
                         ("int8_noreq", f_int8_noreq, x8),
                         ("int8_mm", f_int8_mm, x8)):
         try:
@@ -140,6 +166,9 @@ def main():
     if results.get("bf16") and results.get("int8_conv"):
         print(f"int8_conv speedup vs bf16: "
               f"{results['bf16'] / results['int8_conv']:.2f}x")
+    if results.get("bf16") and results.get("int8_fx"):
+        print(f"int8_fx   speedup vs bf16: "
+              f"{results['bf16'] / results['int8_fx']:.2f}x")
     if results.get("bf16") and results.get("int8_mm"):
         print(f"int8_mm   speedup vs bf16: "
               f"{results['bf16'] / results['int8_mm']:.2f}x")

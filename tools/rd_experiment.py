@@ -167,7 +167,16 @@ def evaluate(args, ckpts, yuv_dir, mode, out_dir):
     from lssvc_tpu.ops import set_precision_mode
     from lssvc_tpu.parallel import scheduler
 
-    set_precision_mode(mode)
+    if mode == "int8":
+        # int8 eval: width-packed bf16 base + per-checkpoint calibrated
+        # s8 conv sites (the table is built per rate point below, since
+        # activation ranges depend on the trained weights)
+        from lssvc_tpu.ops.nn import set_packed_width
+
+        set_precision_mode("bf16")
+        set_packed_width(2)
+    else:
+        set_precision_mode(mode)
     scheduler._MODEL_CACHE.clear()
     # precision mode is a trace-time global, NOT part of jit cache keys;
     # the module-level stage jits would otherwise serve the FIRST mode's
@@ -179,6 +188,21 @@ def evaluate(args, ckpts, yuv_dir, mode, out_dir):
     logs = {"BL": {"SYN": {"eval": {}}}, "EL": {"SYN": {"eval": {}}},
             "FL": {"SYN": {"eval": {}}}}
     for i, (lmbda, (intra_ckpt, video_ckpt)) in enumerate(ckpts.items()):
+        if mode == "int8":
+            # scales are trace-time constants: re-calibrate AND re-trace
+            # per checkpoint, or stale scales would be served from the
+            # aval-keyed jit caches
+            from lssvc_tpu.checkpoint import load_params
+            from lssvc_tpu.harness.calibrate import calibrate_video
+            from lssvc_tpu.ops import int8 as q8
+
+            set_precision_mode("bf16")
+            vparams, _ = load_params(video_ckpt)
+            q8.set_calibration(calibrate_video(
+                vparams, size=min(args.eval_size, 256), frames=2))
+            set_precision_mode("int8")
+            scheduler._MODEL_CACHE.clear()
+            jax.clear_caches()
         task = {
             "i_frame_model_path": intra_ckpt,
             "video_model_path": video_ckpt,

@@ -5,10 +5,14 @@
 # repeats the failed stage.  Tracks the driver by PIDFILE — never by
 # process-name pattern.
 #
-# Usage: nohup bash tools/rd_watch.sh <pidfile> [out_dir] >> runs/watch.log &
+# Usage: nohup bash tools/rd_watch.sh <pidfile> [out_dir] [extra args...] \
+#            >> runs/watch.log &
+# Extra args are forwarded to rd_experiment.py on relaunch (step-count
+# overrides change checkpoint names, so the relaunch MUST repeat them).
 set -u
 PIDFILE="${1:?pidfile}"
 OUT="${2:-runs/rd}"
+shift; [ $# -gt 0 ] && shift
 cd "$(dirname "$0")/.."
 
 while true; do
@@ -19,7 +23,7 @@ while true; do
   pid="$(cat "$PIDFILE" 2>/dev/null || true)"
   if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
     echo "$(date +%T) driver (pid=${pid:-none}) gone; relaunching"
-    python tools/rd_experiment.py --out "$OUT" >> runs/rd_log.txt 2>&1 &
+    python tools/rd_experiment.py --out "$OUT" "$@" >> runs/rd_log.txt 2>&1 &
     echo $! > "$PIDFILE"
   fi
   sleep 120

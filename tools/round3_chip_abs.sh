@@ -11,12 +11,12 @@ cd "$(dirname "$0")/.."
 LOG=runs/chip_abs_r3.log
 {
   echo "=== $(date +%T) int8_bench"
-  timeout 2400 python tools/int8_bench.py
+  timeout 1200 python tools/int8_bench.py
   echo "=== $(date +%T) bench baseline"
-  timeout 3600 python bench.py
+  timeout 1800 python bench.py
   echo "=== $(date +%T) bench LSSVC_WARP_NHWC_OUT=1"
-  LSSVC_WARP_NHWC_OUT=1 timeout 3600 python bench.py
+  LSSVC_WARP_NHWC_OUT=1 timeout 1800 python bench.py
   echo "=== $(date +%T) bench LSSVC_WARP_NHWC_OUT=t"
-  LSSVC_WARP_NHWC_OUT=t timeout 3600 python bench.py
+  LSSVC_WARP_NHWC_OUT=t timeout 1500 python bench.py
   echo "=== $(date +%T) done"
 } >> "$LOG" 2>&1
