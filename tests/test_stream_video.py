@@ -322,3 +322,60 @@ def test_closed_loop_bit_exact_with_decoding_profiling(dmc_model):
                                       np.asarray(dec["dpb"][k]), err_msg=k)
     prof = m.get_average_decoding_profiling()
     assert prof and all(v >= 0 for v in prof.values())
+
+
+@pytest.mark.slow
+def test_lssvc_stream_roundtrip_int8(lssvc_model, tmp_path):
+    """--precision int8 closed-loop contract: with a calibration table
+    installed and int8 mode on, real-bitstream encode/decode must stay
+    self-consistent (decoder reproduces the estimated-path recon computed
+    in the SAME mode).  Guards the rANS-desync risk of quantized conv
+    sites feeding the scale-index planes."""
+    from lssvc_tpu.harness.calibrate import calibrate_video
+    from lssvc_tpu.ops import int8 as q8
+    from lssvc_tpu.ops import set_precision_mode
+    from lssvc_tpu.ops.nn import set_packed_width
+
+    import jax
+
+    rng = np.random.default_rng(5)
+    m = lssvc_model
+    try:
+        set_precision_mode("bf16")
+        set_packed_width(2)
+        q8.set_calibration(calibrate_video(m.params, size=128, frames=2))
+        set_precision_mode("int8")
+        jax.clear_caches()  # drop fp32-mode executables (aval-keyed)
+
+        m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+        x_bl = nhwc_rand(rng, (1, 64, 64, 3))
+        x_el = nhwc_rand(rng, (1, 128, 128, 3))
+        dpb = {
+            "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+            "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+            "ref_frame_el": nhwc_rand(rng, (1, 128, 128, 3)),
+            "ref_feature_el": nhwc_rand(rng, (1, 128, 128, 48)),
+        }
+        res = m.encode_decode_extend(
+            x_bl, x_el, dict(dpb),
+            output_path_bl=str(tmp_path / "bl8.bin"),
+            output_path_el=str(tmp_path / "el8.bin"),
+            pic_width=128, pic_height=128, pic_width_bl=64, pic_height_bl=64)
+        assert res["bit_bl"] > 0 and res["bit_el"] > 0
+        assert q8.served_sites(), "int8 sites never fired in stream mode"
+
+        est = m.forward_one_frame(x_bl, x_el, dpb["ref_frame_bl"],
+                                  dpb["ref_frame_el"],
+                                  dpb["ref_feature_bl"],
+                                  dpb["ref_feature_el"])
+        # bf16 closed-loop tolerance (matches the bf16 roundtrip bound)
+        assert_close_mostly(np.asarray(res["dpb"]["ref_frame_el"],
+                                       np.float32),
+                            np.asarray(est["dpb"]["ref_frame_el"],
+                                       np.float32),
+                            atol=2e-2, rtol=1e-2, max_mismatch_frac=0.02)
+    finally:
+        set_precision_mode("fp32")
+        set_packed_width(1)
+        q8.set_calibration({})
+        jax.clear_caches()

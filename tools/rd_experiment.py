@@ -49,6 +49,10 @@ def parse_args():
                    help="2 lambdas, few steps — smoke run")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--modes", nargs="+", default=["fp32", "bf16"])
+    p.add_argument("--report-name", default="rd_report.json",
+                   help="report filename under --out (use a different one "
+                        "for follow-up mode comparisons, e.g. bf16-vs-int8, "
+                        "so the primary report survives)")
     p.add_argument("--stages", choices=["staged", "full"], default="staged",
                    help="'full' = single-stage video training (one compiled "
                         "graph instead of three; the CPU-fallback config)")
@@ -281,9 +285,9 @@ def main():
                         [p[0] for p in b], [p[1] for p in b])
         report["bd_rate_delta_pct"] = delta
         print(f"BD-rate {args.modes[1]} vs {args.modes[0]}: {delta:+.3f}%")
-    with open(os.path.join(out_dir, "rd_report.json"), "w") as f:
+    with open(os.path.join(out_dir, args.report_name), "w") as f:
         json.dump(report, f, indent=2)
-    print(f"report -> {os.path.join(out_dir, 'rd_report.json')}")
+    print(f"report -> {os.path.join(out_dir, args.report_name)}")
 
 
 if __name__ == "__main__":
