@@ -191,7 +191,10 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
         # calibrated sites onto the s8 MXU path.
         from lssvc_tpu.ops import int8 as q8
 
-        cal_hw = (el_hw[0] // 2, el_hw[1] // 2)
+        # calibration dims must be multiples of 128 so the BL (half-res)
+        # stays divisible by 64 — the hyper path pads to /64 internally and
+        # mismatched padding crashes the forward (e.g. 1080p: 576//64!=0)
+        cal_hw = (-(-el_hw[0] // 256) * 128, -(-el_hw[1] // 256) * 128)
         cal_bl = (cal_hw[0] // 2, cal_hw[1] // 2)
 
         @jax.jit

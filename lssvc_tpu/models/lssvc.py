@@ -271,6 +271,7 @@ def forward_one_frame(params, x_bl, x_el, ref_frame_bl, ref_frame_el,
         "bit_el": el["bits_el"],
         "mv_hat": el["mv_hat"],
         "warp_frame": el["warp_frame"],
+        "warp_frame_bl": bl["warp_frame"],
         "context": el["context"],
     }
 

@@ -44,6 +44,32 @@ def rd_loss(params, batch, lmbda: float, shape_hr, scale_factor, pad_size):
     return loss, {"loss": loss, "bpp": bpp, "mse_el": mse_el, "mse_bl": mse_bl}
 
 
+def rd_loss_warp(params, batch, lmbda: float, shape_hr, scale_factor,
+                 pad_size):
+    """Motion-stage loss: distortion on the motion-compensated *warped*
+    predictions instead of the final recon.
+
+    With the non-motion subnets frozen at init (the reference's MV stage,
+    `dmc_net.py:283-290`), the reconstruction path is an untrained decoder
+    whose output is garbage — recon MSE buries the motion gradient in
+    decoder noise (measured: mv-stage recon MSE ~1e3 and flat).  The warped
+    frame depends only on SpyNet + the MV codec, giving the motion subnets
+    a clean signal; the total bpp term still rewards cheaper motion.
+    """
+    out = lssvc_model.forward_one_frame(
+        params, batch["x_bl"], batch["x_el"], batch["ref_bl"],
+        batch["ref_el"], None, None, shape_hr, scale_factor, pad_size)
+    n_el = batch["x_el"].shape[0] * batch["x_el"].shape[1] * batch["x_el"].shape[2]
+    n_bl = batch["x_bl"].shape[0] * batch["x_bl"].shape[1] * batch["x_bl"].shape[2]
+    mse_el = jnp.mean(jnp.square(
+        out["warp_frame"].astype(jnp.float32) - batch["x_el"]))
+    mse_bl = jnp.mean(jnp.square(
+        out["warp_frame_bl"].astype(jnp.float32) - batch["x_bl"]))
+    bpp = out["bit_el"] / n_el + out["bit_bl"] / n_bl
+    loss = lmbda * (255.0 ** 2) * (mse_el + mse_bl) + bpp
+    return loss, {"loss": loss, "bpp": bpp, "mse_el": mse_el, "mse_bl": mse_bl}
+
+
 def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
                     pad_size):
     """Cascaded multi-frame RD loss over a short DPB chain.
@@ -127,6 +153,7 @@ def make_optimizer(learning_rate: float = 1e-4):
 
 _LOSSES = {
     "pair": rd_loss,
+    "warp": rd_loss_warp,
     "cascade": rd_loss_cascade,
 }
 
@@ -170,6 +197,7 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
 
 
 _BATCH_KEYS = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
+               "warp": ("x_bl", "x_el", "ref_bl", "ref_el"),
                "cascade": ("x_bl", "x_el"),
                "intra": ("x_bl", "x_el")}
 

@@ -44,10 +44,18 @@ def parse_args():
                    help="freeze the motion-prediction subnets or everything "
                         "else (reference's selective-freeze training stages)")
     p.add_argument("--loss", type=str, default="pair",
-                   choices=["pair", "cascade", "intra"],
-                   help="pair = single P-frame RD; cascade = multi-frame "
-                        "DPB-chain RD (error accumulation); intra = IntraSS "
-                        "two-layer RD + quantile aux loss")
+                   choices=["pair", "warp", "cascade", "intra"],
+                   help="pair = single P-frame RD; warp = motion-stage loss "
+                        "(distortion on the warped prediction); cascade = "
+                        "multi-frame DPB-chain RD (error accumulation); "
+                        "intra = IntraSS two-layer RD + quantile aux loss")
+    p.add_argument("--precision", type=str, default="high",
+                   choices=["fp32", "high", "bf16"],
+                   help="training compute precision: fp32 = 6-pass exact "
+                        "matmuls; high (default) = f32 activations with "
+                        "3-pass bf16 matmuls (~2x, near-fp32 grads); bf16 = "
+                        "bf16 conv operands/outputs (fastest; params and "
+                        "optimizer state stay f32 either way)")
     p.add_argument("--frames", type=int, default=4,
                    help="chain length T for --loss cascade (frame 0 is the "
                         "uncompressed reference, T-1 frames are coded)")
@@ -225,7 +233,9 @@ def main():
     # stage first (motion subnets only), then full single-frame RD, then
     # cascaded multi-frame fine-tuning
     if args.stage == "mv":
-        args.loss, args.freeze = "pair", "other"
+        # warp loss: distortion on the motion-compensated prediction — the
+        # recon path is frozen at init in this stage and its MSE is noise
+        args.loss, args.freeze = "warp", "other"
     elif args.stage == "full":
         args.loss, args.freeze = "pair", None
     elif args.stage == "cascade":
