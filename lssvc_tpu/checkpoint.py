@@ -29,6 +29,8 @@ def load_params(path: str, device_put: bool = True):
     for k in data.files:
         if k.startswith("__meta__"):
             metadata[k[len("__meta__"):]] = data[k]
+        elif k.startswith("__opt__"):
+            pass  # a .state.npz passed as a weights file: skip Adam moments
         else:
             params[k] = jnp.asarray(data[k]) if device_put else data[k]
     return params, metadata

@@ -162,6 +162,65 @@ def entropy_bottleneck_aux_loss(p, tail_mass: float = 1e-9,
     return jnp.sum(jnp.abs(logits - targets))
 
 
+def fit_entropy_bottleneck_quantiles(p, tail_mass: float = 1e-9,
+                                     filters=(3, 3, 3, 3), iters: int = 64):
+    """Solve the quantiles exactly by per-channel bisection.
+
+    The aux loss drives `logits(quantiles) -> (-t, 0, t)` by SGD; since
+    `_logits_cumulative` is monotone in its input (softplus-positive
+    matrices, |tanh(factor)| < 1 — the standard monotone construction),
+    the same targets can be hit exactly by root-finding, which is what a
+    converged aux optimizer would produce (`img_entropy_models.py:478-481`).
+    Used at training-checkpoint time so real-bitstream CDF tables are
+    tight regardless of how far the aux SGD got.
+    """
+    target = math.log(2 / tail_mass - 1)
+    targets = jnp.asarray([-target, 0.0, target])
+    c = p("quantiles").shape[0]
+
+    # bracket by doubling: the logits slope at init is the product of five
+    # softplus'd small matrices, so the roots can sit thousands of units
+    # out; 40 doublings cover anything representable in f32
+    def widen(_, b):
+        lo, hi = b
+        v_lo = entropy_bottleneck_logits(p, lo, filters)
+        v_hi = entropy_bottleneck_logits(p, hi, filters)
+        lo = jnp.where(v_lo > targets, lo * 2.0, lo)
+        hi = jnp.where(v_hi < targets, hi * 2.0, hi)
+        return lo, hi
+
+    lo = jnp.full((c, 1, 3), -1.0, jnp.float32)
+    hi = jnp.full((c, 1, 3), 1.0, jnp.float32)
+    lo, hi = jax.lax.fori_loop(0, 40, widen, (lo, hi))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        v = entropy_bottleneck_logits(p, mid, filters)
+        too_low = v < targets
+        return jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def refit_quantiles(params):
+    """Return a copy of a flat param dict with every EntropyBottleneck's
+    quantiles re-solved by bisection (see fit_entropy_bottleneck_quantiles).
+    Bottlenecks are located by their `<prefix>quantiles` key with sibling
+    `<prefix>_matrices.0`."""
+    from ..convert import P
+
+    out = dict(params)
+    for k in params:
+        if k.endswith("quantiles"):
+            prefix = k[: -len("quantiles")]
+            if prefix + "_matrices.0" in params:
+                p = P(params, prefix)
+                out[k] = fit_entropy_bottleneck_quantiles(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scale tables / index builders (for the real-bitstream path)
 

