@@ -82,9 +82,16 @@ def calc_psnr(img1: np.ndarray, img2: np.ndarray, data_range: float = 255) -> fl
 
 
 def mse_to_psnr(mse: float, data_range: float = 1) -> float:
+    if not np.isfinite(mse):
+        # NaN/inf reconstruction must surface as NaN, not saturate to the
+        # identical-frames sentinel: `NaN > 1e-10` is False, and one
+        # silently-999.9 frame averaged into a sequence reads as a
+        # plausible high-PSNR result (observed: an int8 eval with one NaN
+        # frame in twelve reported 89 dB)
+        return float("nan")
     if mse > 1e-10:
         return float(10 * np.log10(data_range * data_range / mse))
-    return 999.9
+    return 999.9  # identical frames (reference sentinel, `test.py:107-112`)
 
 
 def yuv_weighted_psnr(y_psnr: float, u_psnr: float, v_psnr: float) -> float:

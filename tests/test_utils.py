@@ -221,3 +221,17 @@ def test_ms_ssim_rgb_matches_pytorch_msssim_algorithm():
                             torch.tensor(b[None], dtype=torch.float64))
         ours = ms_ssim_rgb(a, b)
         assert abs(ours - ref) < 1e-8, (h, w, ours, ref)
+
+
+def test_mse_to_psnr_nan_propagates():
+    """NaN/inf MSE must yield NaN PSNR, not the identical-frames 999.9
+    sentinel (a single masked-NaN frame averaged into a sequence reads as
+    a plausible high-PSNR result)."""
+    import numpy as np
+
+    from lssvc_tpu.utils.metrics import mse_to_psnr
+
+    assert np.isnan(mse_to_psnr(float("nan")))
+    assert np.isnan(mse_to_psnr(float("inf")))
+    assert mse_to_psnr(0.0) == 999.9
+    assert abs(mse_to_psnr(0.01) - 20.0) < 1e-6
