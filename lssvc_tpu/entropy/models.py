@@ -180,7 +180,11 @@ def fit_entropy_bottleneck_quantiles(p, tail_mass: float = 1e-9,
 
     # bracket by doubling: the logits slope at init is the product of five
     # softplus'd small matrices, so the roots can sit thousands of units
-    # out; 40 doublings cover anything representable in f32
+    # out.  13 doublings cap the bracket at +/-8192: a channel whose tails
+    # are unreachable within that saturates there, costing only a heavier
+    # CDF tail (bypass-coded) — whereas an unbounded quantile would make
+    # the table builder allocate `arange(quantile_range)` per channel
+    # (entropy/coder.py:170-173).
     def widen(_, b):
         lo, hi = b
         v_lo = entropy_bottleneck_logits(p, lo, filters)
@@ -191,7 +195,7 @@ def fit_entropy_bottleneck_quantiles(p, tail_mass: float = 1e-9,
 
     lo = jnp.full((c, 1, 3), -1.0, jnp.float32)
     hi = jnp.full((c, 1, 3), 1.0, jnp.float32)
-    lo, hi = jax.lax.fori_loop(0, 40, widen, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, 13, widen, (lo, hi))
 
     def body(_, lohi):
         lo, hi = lohi
