@@ -245,6 +245,13 @@ def main():
     elif args.stage == "cascade":
         args.loss, args.freeze = "cascade", None
 
+    # training compute precision (default 'high': f32 activations with
+    # 3-pass bf16 matmuls — near-fp32 gradients at ~2x the step rate of
+    # the exact 6-pass mode; params/optimizer state stay f32 regardless)
+    from lssvc_tpu.ops import set_precision_mode
+
+    set_precision_mode(args.precision)
+
     n_dev = len(jax.devices())
     batch = args.batch_per_device * n_dev
     crop = args.crop
