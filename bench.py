@@ -238,6 +238,31 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
             dpb, bits = step(params, xb, xe, dpb, bits)
         return float(np.asarray(bits))  # resolves only after all n frames
 
+    if "--tier-stats" in sys.argv:
+        # which warp tier does this content/checkpoint actually hit?
+        # (tiny <= 2 px; windowed <= 26 v / 62 h; else XLA fallback)
+        @jax.jit
+        def _mv_stats(params, x_bl, x_el, dpb):
+            out = lssvc_model.forward_one_frame(
+                params, x_bl, x_el, dpb["ref_frame_bl"],
+                dpb["ref_frame_el"], dpb["ref_feature_bl"],
+                dpb["ref_feature_el"], shape_hr, 2.0, (0, 0, 0, 0))
+            mv = out["mv_hat"].astype(jnp.float32)
+            return (out["dpb"],
+                    jnp.max(jnp.abs(mv[..., 0])), jnp.max(jnp.abs(mv[..., 1])))
+
+        dpb_t = dpb0
+        for i in range(3):
+            xb, xe = (x_seq[(i + 1) % len(x_seq)] if x_seq is not None
+                      else (x_bl, x_el))
+            dpb_t, fx, fy = _mv_stats(params, xb, xe, dpb_t)
+            fx, fy = float(fx), float(fy)
+            tier = ("tiny" if max(fx, fy) <= 2.0
+                    else "windowed" if fx <= 62 and fy <= 26 else "fallback")
+            print(f"# tier-stats frame {i + 1}: max|mv_x|={fx:.2f} "
+                  f"max|mv_y|={fy:.2f} -> EL warp tier: {tier}",
+                  file=sys.stderr)
+
     def measure():
         t0 = time.time()
         run_chain(1)

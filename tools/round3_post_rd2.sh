@@ -22,7 +22,7 @@ CKPT="$(ls runs/rd2/video_l0p01_ft_step*.npz 2>/dev/null | grep -v state | tail 
 {
   echo "=== $(date +%T) trained-weights bench (ckpt=$CKPT)"
   [ -n "$CKPT" ] && timeout 2400 python bench.py --ckpt "$CKPT" \
-      --video synthetic
+      --video synthetic --tier-stats
   echo "=== $(date +%T) int8_packed bench (1080p default)"
   timeout 3600 python bench.py --mode int8_packed
   echo "=== $(date +%T) int8 RD eval (bf16 vs int8 BD delta, rd2 ckpts)"
