@@ -162,6 +162,20 @@ def main():
     if args.force_intra:
         args.model_path = args.i_frame_model_path
 
+    # reference-CLI compatibility flags that are inert here, surfaced
+    # rather than silently swallowed: the inter-RDO family is parsed and
+    # never read in the reference as well (`test.py:45-56`, SURVEY §2.4 —
+    # a defect not worth replicating functionally), and device selection
+    # is JAX-managed (no CUDA on this backend).
+    if args.inter_mv_rdo or args.inter_feature_rdo:
+        print("note: --inter_mv_rdo/--inter_feature_rdo are accepted for "
+              "reference CLI compatibility but not implemented (they are "
+              "dead flags in the reference too); only --intra_rdo is "
+              "functional")
+    if args.cuda or args.cuda_device is not None:
+        print("note: --cuda/--cuda_device ignored (device placement is "
+              "JAX-managed; set JAX_PLATFORMS to pin a backend)")
+
     # must run before first jax use (JAX_PLATFORMS=cpu would otherwise be
     # overridden by the deployment sitecustomize's TPU registration)
     from lssvc_tpu.utils.platform import pin_platform_from_env
