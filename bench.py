@@ -295,7 +295,7 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
     return batch / best
 
 
-LAST_KNOWN_FPS = 1.54  # docs/PERFORMANCE.md §warp-boundary (self-measured)
+LAST_KNOWN_FPS = 1.582  # runs/chip_abs2_r3.log (fused NHWC warp default)
 
 
 def probe_backend(deadline_s=75):
