@@ -36,8 +36,18 @@ def load_params(path: str, device_put: bool = True):
     return params, metadata
 
 
-def save_train_state(path: str, params: dict, opt_state, step: int):
-    """Training checkpoint: params + flattened optimizer state."""
+def save_train_state(path: str, params: dict, opt_state, step: int,
+                     out_tag: str | None = None):
+    """Training checkpoint: params + flattened optimizer state.
+
+    ``out_tag`` identifies the producing run (train.py passes its --out
+    prefix).  Resume logic uses it to distinguish a same-stage crash
+    resume (restore moments + step) from a cross-stage handoff (fresh
+    optimizer, step 0) — the round-3 RD pipeline deadlocked because all
+    video stages share the optimizer *structure*, so a structure-mismatch
+    exception could not tell the stages apart and a cascade stage resumed
+    at the full stage's step count, ran zero steps, and saved nothing.
+    """
     import jax
 
     flat, treedef = jax.tree.flatten(opt_state)
@@ -45,7 +55,17 @@ def save_train_state(path: str, params: dict, opt_state, step: int):
     arrays.update({k: np.asarray(v) for k, v in params.items()})
     arrays["__meta__step"] = np.asarray(step)
     arrays["__meta__n_opt"] = np.asarray(len(flat))
+    if out_tag is not None:
+        arrays["__meta__out_tag"] = np.asarray(out_tag)
     np.savez(path, **arrays)
+
+
+def read_ckpt_meta(path: str) -> dict:
+    """Read only the ``__meta__*`` entries of a checkpoint (np.load is
+    lazy per-key, so this never materializes the weight arrays)."""
+    data = np.load(path, allow_pickle=False)
+    return {k[len("__meta__"):]: data[k] for k in data.files
+            if k.startswith("__meta__")}
 
 
 def load_train_state(path: str, opt_state_template):

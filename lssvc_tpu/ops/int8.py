@@ -139,6 +139,15 @@ def fixed_point_multiplier(act_scale, w_scale, out_scale,
     # jnp right-shift with negative counts is undefined; clamp post >= 0
     # (post < 0 would mean m >= 2^(mult_bits-1) / B — absurd for real nets)
     post = np.maximum(post, 0)
+    # s32 shifts with count >= 31 (and the `1 << post` rounding term at
+    # post >= 31) are likewise undefined: a negligible multiplier from a
+    # dead/near-zero channel (e.g. w_scale ~ 1e-8) yields post > 30.
+    # Fold the excess into M, which underflows toward 0 — the correct
+    # limit (the channel's requant output is ~0, not clamped garbage).
+    excess = np.maximum(post - 30, 0)
+    if excess.any():
+        M = M >> excess
+        post = post - excess
     return M.astype(np.int32), post.astype(np.int32), acc_shift
 
 

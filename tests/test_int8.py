@@ -110,6 +110,20 @@ def test_fixed_point_multiplier_range():
         assert (acc_max >> int(si)) * int(Mi) < 2 ** 31 - 1
 
 
+def test_fixed_point_multiplier_tiny_channel_emits_zero():
+    """A dead/near-zero channel (w_scale ~ 1e-8) must produce post <= 30
+    (s32 shift-by->=31 is undefined in XLA) and a requant output of ~0,
+    not clamped +-127 garbage (ADVICE r3)."""
+    M, post, ash = fixed_point_multiplier(0.05, np.array([1e-8]), 0.04,
+                                          mult_bits=15)
+    assert int(post[0]) <= 30 and int(ash[0]) <= 30
+    acc = jnp.full((1, 4, 4, 1), 2 ** 24, jnp.int32)  # huge accumulator
+    got = np.asarray(requant_fixed(acc, jnp.asarray(M), jnp.asarray(post),
+                                   jnp.asarray(ash)))
+    # true product: 2^24 * 0.05 * 1e-8 / 0.04 ~ 0.2 -> rounds to 0
+    assert np.abs(got).max() <= 1, got.max()
+
+
 def test_int8_serving_path_on_packed_blocks():
     """End-to-end serving-path contract (models/packed_blocks.py):
     record scales via the trace-time recorder, install the table, flip

@@ -104,18 +104,34 @@ def make_eval_sequence(path, n_frames, size, seed=1234):
 
 
 def _run_stage(cmd, attempts=4):
-    """Run a training stage, retrying on transient device/tunnel
-    failures (the remote compile helper can drop mid-run; stages
-    resume from their --resume checkpoint, so a retry only repeats
-    the failed stage)."""
+    """Run a training stage, retrying ONLY plausibly-transient failures
+    (the remote compile helper can drop mid-run; stages resume from
+    their --resume checkpoint, so a retry only repeats the failed
+    stage).  Two consecutive failures with the same terminal error line
+    are deterministic — abort immediately instead of sleep-retrying
+    (round 3: four 120-480s retries of a FileNotFoundError, then an
+    outer watchdog relaunch loop, burned the chip for hours)."""
     import subprocess
 
+    prev_sig = None
     for i in range(attempts):
         print("+", " ".join(cmd), flush=True)
-        r = subprocess.run(cmd)
+        # stdout (training progress) streams live; stderr (tracebacks)
+        # is captured for the determinism check and echoed on failure
+        r = subprocess.run(cmd, stderr=subprocess.PIPE, text=True)
         if r.returncode == 0:
             return
-        wait = 120 * (i + 1)
+        err = (r.stderr or "").strip()
+        if err:
+            print(err[-4000:], flush=True)
+        lines = [ln for ln in err.splitlines() if ln.strip()]
+        sig = (r.returncode, lines[-1] if lines else "")
+        if sig == prev_sig:
+            raise RuntimeError(
+                f"stage failed twice with the same error (deterministic; "
+                f"not retrying): {sig[1]!r}\ncmd: {cmd}")
+        prev_sig = sig
+        wait = 60 * (i + 1)
         print(f"stage failed (rc={r.returncode}); "
               f"retry {i + 1}/{attempts - 1} in {wait}s", flush=True)
         time.sleep(wait)
@@ -140,31 +156,40 @@ def train_base(args, out_dir):
     s_mv = max(args.steps_base // 8, 1)
     s_full = args.steps_base
     s_casc = max(args.steps_base // 2, 1)
+    mv_ckpt = os.path.join(out_dir, f"base_mv_step{s_mv}.npz")
+    full_ckpt = os.path.join(out_dir, f"base_full_step{s_full}.npz")
     base_ckpt = os.path.join(out_dir, f"base_cascade_step{s_casc}.npz")
     common = ["--crop", str(args.crop), "--batch-per-device", str(args.batch)]
+    # each stage is gated on its OWN output (or any later stage's): a
+    # relaunch after a mid-pipeline failure must skip completed stages,
+    # not retrain the 2-hour full stage (the round-3 watchdog loop)
     if not os.path.exists(spynet_ckpt):
         _run_stage([py, train, "--stage", "spynet",
                     "--steps", str(args.steps_spynet),
                     "--out", os.path.join(out_dir, "spynet"),
                     "--save-every", str(args.steps_spynet)] + common)
-    if not os.path.exists(base_ckpt):
+    if not any(os.path.exists(p) for p in (mv_ckpt, full_ckpt, base_ckpt)):
         _run_stage([py, train, "--stage", "mv", "--steps", str(s_mv),
                     "--lmbda", lm, "--resume", spynet_ckpt,
                     "--out", os.path.join(out_dir, "base_mv"),
                     "--save-every", str(s_mv)] + common)
+    if not any(os.path.exists(p) for p in (full_ckpt, base_ckpt)):
         _run_stage([py, train, "--stage", "full", "--steps", str(s_full),
-                    "--lmbda", lm,
-                    "--resume", os.path.join(out_dir, f"base_mv_step{s_mv}.npz"),
+                    "--lmbda", lm, "--resume", mv_ckpt,
                     "--out", os.path.join(out_dir, "base_full"),
                     "--save-every", str(s_full),
                     "--lr-decay-steps", str(s_full)] + common)
+    if not os.path.exists(base_ckpt):
         _run_stage([py, train, "--stage", "cascade", "--frames", "3",
                     "--steps", str(s_casc), "--lmbda", lm,
-                    "--resume", os.path.join(out_dir,
-                                             f"base_full_step{s_full}.npz"),
+                    "--resume", full_ckpt,
                     "--out", os.path.join(out_dir, "base_cascade"),
                     "--save-every", str(s_casc),
                     "--lr-decay-steps", str(s_casc)] + common)
+    if not os.path.exists(base_ckpt):
+        raise RuntimeError(
+            f"base cascade stage exited 0 but {base_ckpt} was not written "
+            f"(step-accounting bug? check the stage's resume log line)")
     return base_ckpt
 
 
@@ -248,14 +273,18 @@ def evaluate(args, ckpts, yuv_dir, mode, out_dir):
     from lssvc_tpu.ops import set_precision_mode
     from lssvc_tpu.parallel import scheduler
 
+    # packed width is a trace-time global too: reset it for EVERY mode,
+    # or an int8 mode earlier in --modes would leave later fp32/bf16
+    # evals silently running in the width-packed domain (mode-order-
+    # dependent results)
+    from lssvc_tpu.ops.nn import set_packed_width
+
+    set_packed_width(2 if mode == "int8" else 1)
     if mode == "int8":
         # int8 eval: width-packed bf16 base + per-checkpoint calibrated
         # s8 conv sites (the table is built per rate point below, since
         # activation ranges depend on the trained weights)
-        from lssvc_tpu.ops.nn import set_packed_width
-
         set_precision_mode("bf16")
-        set_packed_width(2)
     else:
         set_precision_mode(mode)
     scheduler._MODEL_CACHE.clear()

@@ -1,19 +1,35 @@
 #!/bin/bash
 # RD-experiment watchdog: relaunch tools/rd_experiment.py if its driver
-# process dies before runs/rd/rd_report.json exists.  The experiment is
+# process dies before <out_dir>/rd_report.json exists.  The experiment is
 # resumable (stages skip on existing checkpoints), so a relaunch only
 # repeats the failed stage.  Tracks the driver by PIDFILE — never by
 # process-name pattern.
 #
-# Usage: nohup bash tools/rd_watch.sh <pidfile> [out_dir] [extra args...] \
+# Usage: nohup bash tools/rd_watch.sh <pidfile> <out_dir> [extra args...] \
 #            >> runs/watch.log &
 # Extra args are forwarded to rd_experiment.py on relaunch (step-count
 # overrides change checkpoint names, so the relaunch MUST repeat them).
+#
+# Loop protection (round-3 lesson: a deterministic stage failure turned
+# this watchdog into an infinite chip-burning retrain loop): a driver
+# that dies within FAST_DEATH_S of its relaunch twice in a row is
+# failing deterministically — the watcher aborts loudly instead of
+# relaunching again.  MAX_RELAUNCH bounds total relaunches regardless.
 set -u
 PIDFILE="${1:?pidfile}"
-OUT="${2:-runs/rd}"
-shift; [ $# -gt 0 ] && shift
+OUT="${2:?out_dir (explicit; must not start with '-')}"
+case "$OUT" in
+  -*) echo "rd_watch.sh: out_dir '$OUT' looks like a flag — pass the" \
+           "out_dir explicitly before any extra args" >&2; exit 2 ;;
+esac
+shift 2
 cd "$(dirname "$0")/.."
+
+FAST_DEATH_S=300
+MAX_RELAUNCH=6
+fast_deaths=0
+relaunches=0
+launch_t=0
 
 while true; do
   if [ -f "$OUT/rd_report.json" ]; then
@@ -22,9 +38,29 @@ while true; do
   fi
   pid="$(cat "$PIDFILE" 2>/dev/null || true)"
   if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
-    echo "$(date +%T) driver (pid=${pid:-none}) gone; relaunching"
+    now=$(date +%s)
+    if [ "$launch_t" -gt 0 ] && [ $((now - launch_t)) -lt "$FAST_DEATH_S" ]; then
+      fast_deaths=$((fast_deaths + 1))
+    else
+      fast_deaths=0
+    fi
+    if [ "$fast_deaths" -ge 2 ]; then
+      echo "$(date +%T) driver died <${FAST_DEATH_S}s after relaunch twice" \
+           "in a row (deterministic failure); watcher ABORTING —" \
+           "see runs/rd_log.txt" >&2
+      exit 1
+    fi
+    if [ "$relaunches" -ge "$MAX_RELAUNCH" ]; then
+      echo "$(date +%T) relaunch budget ($MAX_RELAUNCH) exhausted without" \
+           "a report; watcher ABORTING" >&2
+      exit 1
+    fi
+    echo "$(date +%T) driver (pid=${pid:-none}) gone; relaunching" \
+         "($((relaunches + 1))/$MAX_RELAUNCH)"
     python tools/rd_experiment.py --out "$OUT" "$@" >> runs/rd_log.txt 2>&1 &
     echo $! > "$PIDFILE"
+    launch_t=$now
+    relaunches=$((relaunches + 1))
   fi
   sleep 120
 done

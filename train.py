@@ -97,6 +97,28 @@ def parse_args():
     return args
 
 
+def resume_policy(tag: str, step0: int, out: str, steps: int) -> str:
+    """Classify a --resume with an existing sibling .state.npz.
+
+    'crash' = same-stage crash resume: restore Adam moments, LR-schedule
+    position, and the step counter.  'stage' = cross-stage handoff:
+    params only, fresh optimizer, step 0.
+
+    The out_tag written by save_train_state is authoritative (every RD
+    stage uses a distinct --out).  Untagged legacy states fall back to a
+    heuristic: a restored step >= this run's --steps can only be a
+    *finished other* stage (a same-stage crash resume is by construction
+    mid-run), so it is a stage handoff — the round-3 RD pipeline
+    deadlocked exactly here, resuming a 1200-step cascade stage at the
+    full stage's step 2400, running zero iterations and saving nothing.
+    """
+    if tag and tag != out:
+        return "stage"
+    if not tag and step0 >= steps:
+        return "stage"
+    return "crash"
+
+
 class SyntheticPairs:
     """Correlated frame pairs / sequences: translated smooth textures with
     per-sequence constant velocity (smoke + convergence training)."""
@@ -224,7 +246,8 @@ def main():
     import optax
 
     from lssvc_tpu.checkpoint import (load_params, load_train_state,
-                                      save_params, save_train_state)
+                                      read_ckpt_meta, save_params,
+                                      save_train_state)
     from lssvc_tpu.models.init import init_intra_ss, init_lssvc
     from lssvc_tpu.parallel.mesh import make_mesh
     from lssvc_tpu.parallel.train import (make_sharded_train_scan,
@@ -288,21 +311,38 @@ def main():
     # full-state resume: a sibling .state.npz (written at every save)
     # restores Adam moments + the LR-schedule position + the step counter;
     # without it a crash-resume restarts the cosine schedule at full LR
-    # with zeroed moments and renumbers checkpoints from 1.  Stage
-    # transitions pass the params-only npz (no sibling state for the new
-    # optimizer), which correctly resets the optimizer for the new stage.
+    # with zeroed moments and renumbers checkpoints from 1.
+    #
+    # Same-stage vs cross-stage is decided by the state file's out_tag
+    # (the --out prefix of the run that wrote it): only a tag match is a
+    # crash resume.  A different tag — every stage transition in the RD
+    # recipe — gets a fresh optimizer and step 0.  All video stages share
+    # the optimizer STRUCTURE, so the old structure-mismatch-exception
+    # heuristic silently restored a stale step across stages and a later
+    # stage with fewer --steps ran zero iterations (the round-3 RD
+    # deadlock).  Legacy state files without a tag fall back to the
+    # step >= --steps heuristic.
     step0 = 0
     if args.resume:
         state_path = (args.resume if args.resume.endswith(".state.npz")
                       else args.resume[:-len(".npz")] + ".state.npz")
         if os.path.exists(state_path):
-            try:
-                params, opt_state, step0 = load_train_state(state_path,
-                                                            opt_state)
-                print(f"restored optimizer state + step {step0} "
-                      f"from {state_path}")
-            except Exception as e:  # structure mismatch (different stage)
-                print(f"state restore failed ({e}); params-only resume")
+            meta = read_ckpt_meta(state_path)
+            tag = str(meta.get("out_tag", ""))
+            saved_step = int(meta.get("step", 0))
+            policy = resume_policy(tag, saved_step, args.out, args.steps)
+            if policy == "stage":
+                print(f"state {state_path} (stage '{tag or 'untagged'}', "
+                      f"step {saved_step}) is a cross-stage handoff: "
+                      f"params only, fresh optimizer, step 0")
+            else:
+                try:
+                    params, opt_state, step0 = load_train_state(state_path,
+                                                                opt_state)
+                    print(f"restored optimizer state + step {step0} "
+                          f"from {state_path}")
+                except Exception as e:  # structure mismatch
+                    print(f"state restore failed ({e}); params-only resume")
         else:
             print("params-only resume (fresh optimizer state)")
 
@@ -377,7 +417,7 @@ def main():
             saved = params
         save_params(path, saved, metadata={"step": label})
         save_train_state(path[:-len(".npz")] + ".state.npz", params,
-                         opt_state, label)
+                         opt_state, label, out_tag=args.out)
         print(f"saved {path}")
 
     t0 = time.time()
@@ -417,6 +457,13 @@ def main():
             if step % args.save_every == 0 or step == args.steps:
                 save_ckpt(f"{args.out}_step{step}.npz", params, opt_state,
                           step)
+
+    # invariant for orchestrators (tools/rd_experiment.py gates stages on
+    # this file): train.py exiting 0 means {out}_step{steps}.npz exists —
+    # even if the loop ran zero iterations (resume at step >= --steps)
+    final = f"{args.out}_step{args.steps}.npz"
+    if not os.path.exists(final):
+        save_ckpt(final, params, opt_state, args.steps)
 
 
 if __name__ == "__main__":
