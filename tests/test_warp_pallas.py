@@ -249,6 +249,41 @@ def test_cblock_kernel_channel_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_cblock_kernel_packed_out():
+    """packed_out=True stores straight into the width-packed conv domain:
+    bit-equal to pack_width(warp(x)) (same f32 accumulation, the packed
+    tile transpose is 0/1-selector dots — multiply-by-1 is exact)."""
+    from lssvc_tpu.ops.packed import pack_width
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    rng = np.random.default_rng(71)
+    x = _rand((1, 14, 150, 8), 72)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 14, 150, 2))
+                       .astype(np.float32))
+    ref = pack_width(flow_warp(x, flow), 2)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                   D_H, packed_out=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cblock_kernel_packed_out_channel_padding():
+    """C=3 exercises the pad-to-8 path: the packed channel slices must
+    pull phase 0 and phase 1 from the padded layout, not the first 2C."""
+    from lssvc_tpu.ops.packed import pack_width
+    from lssvc_tpu.ops.warp_pallas import _flow_warp_pallas_cblock
+
+    rng = np.random.default_rng(73)
+    x = _rand((1, 16, 128, 3), 74)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, 2))
+                       .astype(np.float32))
+    ref = pack_width(flow_warp(x, flow), 2)
+    out = _flow_warp_pallas_cblock(x, flow[..., 0], flow[..., 1], 2, D_V,
+                                   D_H, packed_out=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
 def test_grouped_cblock_kernel_exact():
     from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
 

@@ -29,16 +29,21 @@ H, W = 1152, 1920
 K = 6
 
 
-def chain_time(fn, x, rest, k=K):
+def chain_time(fn, x, rest, k=K, feedback=None):
+    """feedback(xx, y) -> next xx; default assumes y's leading channels
+    are layout-compatible with xx (packed-output variants pass their own)."""
     out = fn(x, *rest)
     jax.block_until_ready(out)
+    if feedback is None:
+        def feedback(xx, y):
+            return (0.5 * xx + 0.5 * y[..., : xx.shape[-1]]).astype(xx.dtype)
 
     def chain(n):
         xx = x
         acc = jnp.zeros(())
         for _ in range(n):
             y = fn(xx, *rest)
-            xx = (0.5 * xx + 0.5 * y[..., : xx.shape[-1]]).astype(xx.dtype)
+            xx = feedback(xx, y)
             acc = acc + jnp.sum(y[..., 0].astype(jnp.float32))
         return float(np.asarray(acc))
 
@@ -117,6 +122,31 @@ def main():
 
             fn = jax.jit(split)
             dt = chain_time(fn, x, (flow,))
+        elif name in ("pack_after", "packed_out"):
+            # the packed-consumer boundary A/B: NHWC store + XLA
+            # pack_width relayout vs the kernel's fused packed store
+            # (chain feedback reads the first 48 packed channels, which
+            # is phase-0 — fine for timing, both variants identical)
+            from lssvc_tpu.ops.packed import pack_width
+
+            if name == "pack_after":
+                def fnb(x_, f_):
+                    return pack_width(_flow_warp_pallas_cblock(
+                        x_, f_[..., 0], f_[..., 1], 2, 3, 63), 2)
+            else:
+                def fnb(x_, f_):
+                    return _flow_warp_pallas_cblock(
+                        x_, f_[..., 0], f_[..., 1], 2, 3, 63,
+                        packed_out=True)
+
+            def fb(xx, y):  # identical for both variants (A/B-fair)
+                from lssvc_tpu.ops.packed import unpack_width
+
+                return (0.5 * xx + 0.5 * unpack_width(y, 2)).astype(xx.dtype)
+
+            fn = jax.jit(fnb)
+            dt = chain_time(fn, x.astype(jnp.bfloat16),
+                            (flow.astype(jnp.bfloat16),), feedback=fb)
         else:
             print(f"unknown {name}"); continue
         print(f"{name:12s} {dt * 1e3:8.2f} ms", flush=True)
