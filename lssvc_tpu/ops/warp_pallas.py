@@ -653,8 +653,11 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
     win_r = tr + 2 * d_v + 2
     win_c = TILE_C + 2 * d_h + 2
     n_cu = win_c // TILE_C
-    # block-layout channel count go*cg (dim 1 row-planar, dim 2 NHWC-out)
+    # block-layout channel count go*cg (dim 1 row-planar, dim 2 NHWC-out;
+    # the packed store carries BOTH width phases, 2x the channels)
     c_blk = out_ref.shape[2] if nhwc_out != "0" else out_ref.shape[1]
+    if nhwc_out == "p":
+        c_blk //= 2
     cg = c_blk // go
     n_ub = go // _VREG_R
     one = jnp.float32(1.0)
@@ -717,16 +720,21 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
             # fused output relayout in channel order (same rounding point
             # as the planar store -> bit-equal results)
             a = jnp.concatenate([accs[cs] for cs in sorted(accs)], axis=0)
-            out_ref[i, :, :] = _tile_transpose(a, nhwc_out
-                                               ).astype(out_ref.dtype)
+            if nhwc_out == "p":  # width-packed store (ops/packed.py p=2)
+                out_ref[i, :, :] = _tile_transpose_packed(a
+                                                          ).astype(out_ref.dtype)
+            else:
+                out_ref[i, :, :] = _tile_transpose(a, nhwc_out
+                                                   ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tr, row_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
-                                b=_SMALL_BOUND, d_v=_SMALL_D_V, d_h=63):
+                                b=_SMALL_BOUND, d_v=_SMALL_D_V, d_h=63,
+                                packed_out=False):
     """Grouped channel-blocked small-flow tier: see
     _grouped_warp_kernel_cblock.  Expands the source to block layout
     (one XLA concat) outside the kernel.  bf16 sources stay bf16 through
@@ -742,7 +750,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
         return jnp.concatenate(
             [_grouped_warp_pallas_cblock(x[i:i + 1], flow_x[i:i + 1],
                                          flow_y[i:i + 1], mask[i:i + 1],
-                                         group_num, b, d_v, d_h)
+                                         group_num, b, d_v, d_h, packed_out)
              for i in range(n)], axis=0)
     go = flow_x.shape[-1]
     offset_num = go // group_num
@@ -776,7 +784,16 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
 
     grid = (hp // tr, wp // TILE_C)
     interpret = jax.default_backend() != "tpu"
-    if _NHWC_OUT != "0":
+    nhwc_out = _NHWC_OUT
+    if packed_out:
+        assert w % 2 == 0, "packed_out requires an even output width"
+        nhwc_out = "p"
+    if nhwc_out == "p":
+        out_shape = jax.ShapeDtypeStruct((hp, wp // 2, 2 * go * cg), dt)
+        out_specs = pl.BlockSpec((tr, TILE_C // 2, 2 * go * cg),
+                                 lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    elif nhwc_out != "0":
         out_shape = jax.ShapeDtypeStruct((hp, wp, go * cg), dt)
         out_specs = pl.BlockSpec((tr, TILE_C, go * cg),
                                  lambda i, j: (i, j, 0),
@@ -791,7 +808,7 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
     out = pl.pallas_call(
         functools.partial(_grouped_warp_kernel_cblock, b=b, d_v=d_v,
                           d_h=d_h, h=h, w=w, go=go, tr=tr,
-                          nhwc_out=_NHWC_OUT),
+                          nhwc_out=nhwc_out),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
@@ -812,7 +829,9 @@ def _grouped_warp_pallas_cblock(x, flow_x, flow_y, mask, group_num,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(fxp, fyp, mp, padded)
-    if _NHWC_OUT != "0":
+    if nhwc_out == "p":
+        return out[None, :h, :w // 2, :]
+    if nhwc_out != "0":
         return out[None, :h, :w, :]
     return jnp.transpose(out, (0, 2, 1))[None, :h, :w, :]
 
@@ -1291,21 +1310,30 @@ def flow_warp_pair(a, b, flow, fmax=None):
 
 
 def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
-                      d_v: int = 43, d_h: int = 63):
+                      d_v: int = 43, d_h: int = 63,
+                      packed_out: bool = False):
     """OffsetDiversity grouped warp with mask, block-layout output
     (c' = k*go + j): pallas fast path when every unit's offsets are within
     (d_v, d_h), XLA grouped-gather fallback otherwise.
 
+    packed_out=True returns the width-packed layout (see flow_warp_auto).
+
     Non-TPU backends use the XLA path directly (see flow_warp_auto)."""
     from . import spatial_ctx
 
+    if packed_out:
+        from .packed import pack_width
+
+        def _pk(t):
+            return pack_width(t, 2)
     if spatial_ctx.active():
         from ..parallel.spatial import grouped_warp_sharded_auto
 
-        return grouped_warp_sharded_auto(x, flow_x, flow_y, mask,
-                                         group_num, spatial_ctx.MESH,
-                                         spatial_ctx.HALO_GROUPED,
-                                         spatial_ctx.AXIS)
+        out = grouped_warp_sharded_auto(x, flow_x, flow_y, mask,
+                                        group_num, spatial_ctx.MESH,
+                                        spatial_ctx.HALO_GROUPED,
+                                        spatial_ctx.AXIS)
+        return _pk(out) if packed_out else out
     from .warp import flow_warp_grouped, grouped_warp_lowmem
 
     # bf16 sources stay bf16 through the tiny tier's boundary relayouts
@@ -1334,11 +1362,13 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         # even when the pallas branch runs (see flow_warp_auto); f32
         # internally, cast back so every cond branch returns dt
         x_, fx_, fy_, m_ = operands
-        return grouped_warp_lowmem(x_.astype(jnp.float32), fx_, fy_, m_,
-                                   group_num).astype(dt)
+        out = grouped_warp_lowmem(x_.astype(jnp.float32), fx_, fy_, m_,
+                                  group_num).astype(dt)
+        return _pk(out) if packed_out else out
 
     if _DIFFERENTIABLE or jax.default_backend() != "tpu":
-        return _slow_eager((x, flow_x, flow_y, mask))
+        out = _slow_eager((x, flow_x, flow_y, mask))
+        return _pk(out) if packed_out else out
 
     fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))
     tiny = fmax <= _SMALL_BOUND
@@ -1347,8 +1377,9 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
 
     def fast(operands):
         x_, fx_, fy_, m_ = operands
-        return _grouped_warp_pallas(x_.astype(jnp.float32), fx_, fy_, m_,
-                                    d_v, d_h, group_num).astype(dt)
+        out = _grouped_warp_pallas(x_.astype(jnp.float32), fx_, fy_, m_,
+                                   d_v, d_h, group_num).astype(dt)
+        return _pk(out) if packed_out else out
 
     def windowed_or_gather(operands):
         return jax.lax.cond(in_bounds, fast, slow, operands)
@@ -1358,6 +1389,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
         lambda ops: _grouped_warp_pallas_cblock(ops[0], ops[1], ops[2],
                                                 ops[3], group_num,
                                                 _SMALL_BOUND, _SMALL_D_V,
-                                                d_h),
+                                                d_h,
+                                                packed_out=packed_out),
         windowed_or_gather,
         (x, flow_x, flow_y, mask))

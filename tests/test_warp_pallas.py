@@ -284,6 +284,27 @@ def test_cblock_kernel_packed_out_channel_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_grouped_cblock_kernel_packed_out():
+    """Grouped packed_out == pack_width(grouped warp) bit-for-bit."""
+    from lssvc_tpu.ops.packed import pack_width
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+    rng = np.random.default_rng(75)
+    g, cg, go = 4, 2, 8
+    x = _rand((1, 16, 128, 8), 76)
+    fx = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 1, (1, 16, 128, go)).astype(np.float32))
+    ref = pack_width(grouped_warp_lowmem(x, fx, fy, m, g), 2)
+    out = _grouped_warp_pallas_cblock(x, fx, fy, m, g, 2, D_V, D_H,
+                                      packed_out=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
 def test_grouped_cblock_kernel_exact():
     from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
 

@@ -147,6 +147,35 @@ def main():
             fn = jax.jit(fnb)
             dt = chain_time(fn, x.astype(jnp.bfloat16),
                             (flow.astype(jnp.bfloat16),), feedback=fb)
+        elif name in ("grouped_pack_after", "grouped_packed_out"):
+            # OffsetDiversity-shaped grouped warp (96ch block layout)
+            from lssvc_tpu.ops.packed import pack_width, unpack_width
+            from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+            gk = jax.random.split(jax.random.PRNGKey(7), 3)
+            go = 32
+            fxg = jax.random.uniform(gk[0], (1, H, W, go), minval=-0.4,
+                                     maxval=0.4).astype(jnp.bfloat16)
+            fyg = jax.random.uniform(gk[1], (1, H, W, go), minval=-0.4,
+                                     maxval=0.4).astype(jnp.bfloat16)
+            mg = jax.random.uniform(gk[2], (1, H, W, go)
+                                    ).astype(jnp.bfloat16)
+            packed = name == "grouped_packed_out"
+
+            def fng(x_, fx_, fy_, m_):
+                out = _grouped_warp_pallas_cblock(x_, fx_, fy_, m_, 16,
+                                                  2, 3, 63,
+                                                  packed_out=packed)
+                return out if packed else pack_width(out, 2)
+
+            def fbg(xx, y):
+                return (0.5 * xx
+                        + 0.5 * unpack_width(y, 2)[..., :xx.shape[-1]]
+                        ).astype(xx.dtype)
+
+            fn = jax.jit(fng)
+            dt = chain_time(fn, x.astype(jnp.bfloat16), (fxg, fyg, mg),
+                            feedback=fbg)
         else:
             print(f"unknown {name}"); continue
         print(f"{name:12s} {dt * 1e3:8.2f} ms", flush=True)
