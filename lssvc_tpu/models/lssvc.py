@@ -20,10 +20,18 @@ resolution/ratio).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# chip A/B flag: route the EL pair warp + OffsetDiversity aux through the
+# fused packed-store path (no full-res pack relayout of the 53ch aux).
+# Off by default until the on-chip A/B lands a number
+# (docs/PERFORMANCE.md; exactness pinned by
+# tests/test_lssvc.py::test_packed_ctx_path_matches_default).
+_PACKED_CTX = os.environ.get("LSSVC_PACKED_CTX", "0") == "1"
 
 from ..convert import P
 from ..entropy.models import factorized_bits, laplace_bits
@@ -141,14 +149,36 @@ def el_motion_compensation(p, ref_el, feature_el, mv):
     # per-channel).  mv1 is mv itself (scaled_flows).  The reference
     # frame joins f1's compute dtype so a bf16 f1 keeps the pair on the
     # warp kernels' half-traffic bf16 boundary path (f32 in parity mode).
-    from ..ops.nn import compute_dtype
+    from ..ops.nn import compute_dtype, packed_width
 
     fx_max = jnp.max(jnp.abs(mv[..., 0]))
     fy_max = jnp.max(jnp.abs(mv[..., 1]))
-    warpframe, c1_init = flow_warp_pair(ref_el.astype(compute_dtype()),
-                                        f1, mv, fmax=(fx_max, fy_max))
-    c1 = offset_diversity(p.sub("align"), f1,
-                          jnp.concatenate([c1_init, warpframe, mv], axis=-1), mv)
+    if (_PACKED_CTX and packed_width() == 2
+            and ref_el.shape[2] % 4 == 0):
+        # fused packed pair warp: the kernel stores [ref_el, f1] warped
+        # straight into the width-packed domain and the OffsetDiversity
+        # entry conv consumes it via a kernel-channel permutation — the
+        # 53ch full-res pack_width relayout of the aux tensor disappears
+        # (chip A/B flag LSSVC_PACKED_CTX; exact, see
+        # tests/test_lssvc.py::test_packed_ctx_path_matches_default)
+        from ..ops.packed import pack_width, unpack_width
+
+        pair_p = flow_warp(
+            jnp.concatenate([ref_el.astype(compute_dtype()), f1], axis=-1),
+            mv, fmax=(fx_max, fy_max), packed_out=True)
+        c_pair = pair_p.shape[-1] // 2
+        warpframe = unpack_width(
+            jnp.concatenate([pair_p[..., :3],
+                             pair_p[..., c_pair:c_pair + 3]], axis=-1), 2)
+        c1 = offset_diversity(p.sub("align"), f1, None, mv,
+                              aux_pair_packed=pair_p,
+                              mv_packed=pack_width(mv, 2))
+    else:
+        warpframe, c1_init = flow_warp_pair(ref_el.astype(compute_dtype()),
+                                            f1, mv, fmax=(fx_max, fy_max))
+        c1 = offset_diversity(
+            p.sub("align"), f1,
+            jnp.concatenate([c1_init, warpframe, mv], axis=-1), mv)
     c2 = flow_warp(f2, mv2, fmax=(0.5 * fx_max, 0.5 * fy_max))
     c3 = flow_warp(f3, mv3, fmax=(0.25 * fx_max, 0.25 * fy_max))
     c1, c2, c3 = multi_scale_context_fusion(p.sub("context_fusion_net"), c1, c2, c3)

@@ -68,8 +68,37 @@ def _offset_fusion_scatter(group_num: int, offset_num: int, cg: int):
     return scat
 
 
+def _aux_pair_perm(c_pair: int, c_aux: int) -> "np.ndarray":
+    """Input-channel permutation for the packed aux entry conv when the
+    aux tensor arrives as concat([pair_packed, mv_packed]) instead of
+    pack_width(concat([c1_init, warpframe, mv])).
+
+    pair layout (phase si, channel c'): si*c_pair + c', with c' < 3 the
+    warped ref frame and c' >= 3 the warped f1 (flow_warp_pair input
+    order [ref_el, f1]); mv follows at 2*c_pair + si*2 + m.  The standard
+    packed aux layout is si*c_aux + c with c < c_aux-5 = c1_init,
+    then warpframe (3), then mv (2).  Returns idx with idx[j] = the
+    standard packed index whose value our channel j carries: pconv
+    gathers the packed kernel rows so the conv consumes our layout
+    directly — a trace-time constant, zero runtime cost."""
+    c1 = c_aux - 5  # c1_init channels (48)
+    idx = np.zeros(2 * c_pair + 4, dtype=np.int32)
+    for si in range(2):
+        for c in range(c_aux):
+            q = si * c_aux + c  # standard packed index
+            if c < c1:  # c1_init channel c -> pair channel 3 + c
+                j = si * c_pair + 3 + c
+            elif c < c1 + 3:  # warpframe -> pair channel c - c1
+                j = si * c_pair + (c - c1)
+            else:  # mv channel m, packed separately after the pair
+                j = 2 * c_pair + si * 2 + (c - c1 - 3)
+            idx[j] = q
+    return idx
+
+
 def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
-                     max_residue_magnitude=40.0):
+                     max_residue_magnitude=40.0, aux_pair_packed=None,
+                     mv_packed=None):
     """Group-wise multi-offset warp with masks (`lssvc_modules.py:75-112`).
 
     The reference folds 32 grouped warps through (B*32, 2, H, W) views; here
@@ -83,7 +112,19 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     go = group_num * offset_num  # 32 warp units
     cg = x.shape[-1] // group_num  # channels per group (3)
 
-    if packed_width() == 2 and aux_feature.shape[2] % 4 == 0:
+    if aux_pair_packed is not None:
+        # aux arrives ALREADY packed as (pair warp's fused packed store,
+        # separately packed mv): no full-res pack relayout; the entry
+        # conv's packed kernel is permuted to the concat-of-packed order
+        from ..ops.packed import unpack_width
+        from .packed_blocks import pconv
+
+        c_pair = aux_pair_packed.shape[-1] // 2
+        aux_p = jnp.concatenate([aux_pair_packed, mv_packed], axis=-1)
+        perm = _aux_pair_perm(c_pair, c_pair + 2)
+        out = unpack_width(
+            pconv(p.sub("conv_offset.0"), aux_p, stride=2, in_perm=perm), 2)
+    elif packed_width() == 2 and aux_feature.shape[2] % 4 == 0:
         # % 4, not % 2: the stride-2 packed conv is exact only when the
         # packed width W/2 is itself even (pack_kernel's stride contract);
         # W = 4k+2 would come out one column short (cf. me_basic's % 4

@@ -64,15 +64,29 @@ def _calib_key(prefix: str, w) -> str:
     return f"{prefix}{w.shape[2]}x{w.shape[3]}"
 
 
-def pconv(scope, x_pk, stride: int = 1, p: int = P):
-    """Packed conv from a weight/bias scope (stride 1 or 2, odd kernels)."""
+def pconv(scope, x_pk, stride: int = 1, p: int = P, in_perm=None):
+    """Packed conv from a weight/bias scope (stride 1 or 2, odd kernels).
+
+    `in_perm` (optional int array, len p*Cin): the caller's packed input
+    channel j carries what the standard packed layout calls channel
+    in_perm[j] — the packed kernel's input dim is gathered accordingly at
+    trace time (free: XLA folds it into the weight constant).  Lets a
+    consumer read a concat of independently-packed tensors without a
+    full-res relayout into the canonical interleaved order."""
     w = scope("weight")
     key = _calib_key(scope.prefix, w)
     q8.maybe_record(key, x_pk)
     s_in = q8.scale_for(key)
     if s_in is not None:
-        return _pconv_int8(scope, x_pk, w, s_in, stride, p, pack_kernel_jnp)
+        pack_fn = pack_kernel_jnp
+        if in_perm is not None:
+            def pack_fn(w8, p_, stride_):
+                pw8, pads = pack_kernel_jnp(w8, p_, stride_)
+                return pw8[:, :, in_perm, :], pads
+        return _pconv_int8(scope, x_pk, w, s_in, stride, p, pack_fn)
     pw, (pl, pr) = pack_kernel_jnp(w, p, stride)
+    if in_perm is not None:
+        pw = pw[:, :, in_perm, :]
     kh = w.shape[0]
     return conv2d(x_pk, pw, pack_bias(scope("bias"), p),
                   stride=(stride, stride),

@@ -68,6 +68,39 @@ def test_lssvc_forward_parity(models):
         r["mv_hat"].numpy())
 
 
+def test_packed_ctx_path_matches_default(models, monkeypatch):
+    """LSSVC_PACKED_CTX=1 (fused packed pair-warp store + permuted-kernel
+    OffsetDiversity entry conv) must match the default path.  Only the
+    entry conv's channel contraction ORDER differs (plus exact pack
+    reshapes), so agreement is tight."""
+    import jax
+
+    import lssvc_tpu.models.lssvc as L
+    from lssvc_tpu.convert import P
+    from lssvc_tpu.ops.nn import set_packed_width
+
+    _, ours = models
+    rng = np.random.default_rng(9)
+    ref_el = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    feat = jnp.asarray(rng.random((1, 64, 64, 48)), jnp.float32)
+    mv = jnp.asarray(rng.uniform(-1.5, 1.5, (1, 64, 64, 2)), jnp.float32)
+    p = P(ours.params)
+    set_packed_width(2)
+    try:
+        ctx_a, wf_a = L.el_motion_compensation(p, ref_el, feat, mv)
+        monkeypatch.setattr(L, "_PACKED_CTX", True)
+        jax.clear_caches()
+        ctx_b, wf_b = L.el_motion_compensation(p, ref_el, feat, mv)
+    finally:
+        set_packed_width(1)
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(wf_b), np.asarray(wf_a),
+                               atol=1e-5)
+    for i, (a, b) in enumerate(zip(ctx_a, ctx_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=1e-3, err_msg=f"c{i+1}")
+
+
 @pytest.mark.slow
 def test_lssvc_staged_forward_matches_fused(models):
     """forward_one_frame_staged (two XLA programs, low-peak-HBM serving

@@ -249,6 +249,38 @@ def test_cblock_kernel_channel_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_auto_wrappers_packed_out_xla_path():
+    """flow_warp_auto/grouped_warp_auto with packed_out=True on the CPU
+    (XLA) path: the non-kernel branches must pack after and return the
+    same layout the tiny-tier kernel stores directly."""
+    from lssvc_tpu.ops.packed import pack_width
+    from lssvc_tpu.ops.warp import grouped_warp_lowmem
+    from lssvc_tpu.ops.warp_pallas import flow_warp_auto, grouped_warp_auto
+
+    rng = np.random.default_rng(77)
+    x = _rand((1, 16, 128, 8), 78)
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, 2))
+                       .astype(np.float32))
+    ref = pack_width(flow_warp(x, flow), 2)
+    out = flow_warp_auto(x, flow, packed_out=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    g, go = 4, 8
+    fx = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 2, (1, 16, 128, go))
+                     .astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 1, (1, 16, 128, go)).astype(np.float32))
+    # CPU path routes through _slow_eager whose output is the same block
+    # layout; compare against pack_width of the lowmem reference
+    refg = pack_width(np.asarray(grouped_warp_lowmem(x, fx, fy, m, g)), 2)
+    outg = grouped_warp_auto(x, fx, fy, m, g, packed_out=True)
+    assert outg.shape == refg.shape
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=2e-5)
+
+
 def test_cblock_kernel_packed_out():
     """packed_out=True stores straight into the width-packed conv domain:
     bit-equal to pack_width(warp(x)) (same f32 accumulation, the packed

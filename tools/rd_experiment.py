@@ -113,6 +113,10 @@ def _run_stage(cmd, attempts=4):
     outer watchdog relaunch loop, burned the chip for hours)."""
     import subprocess
 
+    # a stage whose weights landed but whose process died afterwards
+    # (observed: wedged axon transfer while writing the optimizer-state
+    # sibling) must no-op on retry, not retrain
+    cmd = list(cmd) + ["--skip-if-done"]
     prev_sig = None
     for i in range(attempts):
         print("+", " ".join(cmd), flush=True)

@@ -70,6 +70,12 @@ def parse_args():
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="if >0, cosine-decay the LR to lr/100 over this "
                         "many steps")
+    p.add_argument("--skip-if-done", action="store_true",
+                   help="exit 0 immediately when {out}_step{steps}.npz "
+                        "already exists (orchestrator retry path: a stage "
+                        "whose weights landed but whose process died — "
+                        "e.g. wedged on the optimizer-state transfer — "
+                        "must not retrain on retry)")
     p.add_argument("--scan-steps", type=int, default=0,
                    help="optimizer steps chained per device program via "
                         "lax.scan (amortizes host->device dispatch latency, "
@@ -226,6 +232,12 @@ class YUVPairs:
 
 def main():
     args = parse_args()
+
+    if args.skip_if_done:
+        done = f"{args.out}_step{args.steps}.npz"
+        if os.path.exists(done):
+            print(f"{done} exists; --skip-if-done -> nothing to do")
+            return
 
     # must run before first jax use: the deployment sitecustomize registers
     # the TPU backend at interpreter start and the env var alone is ignored
@@ -415,9 +427,14 @@ def main():
             saved = refit_quantiles(params)
         else:
             saved = params
-        save_params(path, saved, metadata={"step": label})
+        # state sibling FIRST, gate file (.npz) LAST: orchestrators treat
+        # the .npz as the stage-done marker, so it must not appear until
+        # everything is on disk (observed: a wedged axon transfer during
+        # the state fetch left a .npz with no .state.npz and a process
+        # that never exited)
         save_train_state(path[:-len(".npz")] + ".state.npz", params,
                          opt_state, label, out_tag=args.out)
+        save_params(path, saved, metadata={"step": label})
         print(f"saved {path}")
 
     t0 = time.time()
