@@ -36,6 +36,8 @@ CKPT="$(ls runs/rd2/video_l0p01_ft_step*.npz 2>/dev/null | grep -v state | tail 
   timeout 3600 python bench.py --batch 2 --staged
   echo "=== $(date +%T) 4. warp packed-out boundary A/B"
   timeout 2400 python tools/warp_overhead_bench.py pack_after packed_out grouped_pack_after grouped_packed_out
+  echo "=== $(date +%T) 4b. full-model packed-ctx A/B (LSSVC_PACKED_CTX=1)"
+  timeout 3600 env LSSVC_PACKED_CTX=1 python bench.py
   echo "=== $(date +%T) 5. int8 RD eval (bf16 vs int8 BD delta, rd2 ckpts)"
   timeout 5400 python tools/rd_experiment.py --out runs/rd2 --eval-only \
       --steps-intra 2000 --steps-base 2400 --steps-ft 600 \
