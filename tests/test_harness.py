@@ -49,6 +49,49 @@ def test_bd_rate_reproduces_reference_baseline():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("ratio", ["x1_5", "x3", "x4"])
+def test_run_test_non_integer_and_large_ratios(tmp_path, ratio):
+    """End-to-end at the reference's OTHER scalability ratios (its
+    committed sweeps cover x2/x1.5/x3/x4, `README.md:50-163`): the
+    inter-layer padding (divisible by 64 AND 64*ratio), the MATLAB
+    bicubic at non-integer scale, and the resamplers' scale plumbing all
+    engage differently than at x2 — previously only x2 had e2e
+    coverage."""
+    from lssvc_tpu.harness.runner import run_test
+    from lssvc_tpu.models.init import init_intra_ss, init_lssvc
+    from lssvc_tpu.models.intra_ss import IntraSS
+    from lssvc_tpu.models.lssvc import LSSVCExtend
+
+    h, w, n_frames = 128, 128, 2
+    rng = np.random.default_rng(3)
+    yuv_path = str(tmp_path / "seq.yuv")
+    with open(yuv_path, "wb") as f:
+        base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        for t in range(n_frames):
+            y = np.roll(base, t, axis=1)
+            uv = np.full((h // 2, w // 2 * 2), 128, dtype=np.uint8)
+            f.write(y.tobytes())
+            f.write(uv.tobytes())
+
+    i_net = IntraSS(init_intra_ss(192), channel_BL=192)
+    v_net = LSSVCExtend(init_lssvc())
+    args = {
+        "frame_num": n_frames,
+        "gop_size": 2,
+        "ratio": ratio,
+        "yuv_path_el": yuv_path,
+        "x1": {"height": h, "width": w},
+        "bin_folder": str(tmp_path / "bins"),
+        "ds_name": "synthetic",
+        "video_path": "seq",
+    }
+    log_bl, log_el, log_fl = run_test(v_net, i_net, args)
+    for log in (log_bl, log_el, log_fl):
+        assert log["ave_all_frame_bpp"] > 0
+        assert 0 < log["ave_all_frame_rgb_psnr"] < 100
+
+
+@pytest.mark.slow
 def test_run_test_end_to_end(tmp_path):
     """3 frames of synthetic 128x128 YUV through the full two-layer loop
     (estimated bpp) with from-scratch weights."""
