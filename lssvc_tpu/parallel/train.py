@@ -106,7 +106,7 @@ def spynet_loss(params, batch, lmbda: float, shape_hr, scale_factor,
 
 
 def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
-                    pad_size):
+                    pad_size, warm: int = 0):
     """Cascaded multi-frame RD loss over a short DPB chain.
 
     batch: dict with x_bl, x_el of shape (B, T, H, W, 3).  Frame 0 is the
@@ -116,6 +116,18 @@ def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
     that makes video-codec training converge; the torch reference trains
     this way via its selective-freeze stages, `dmc_net.py:283-350`, though
     it ships no loop).  T is static; the chain is unrolled under jit.
+
+    `warm`: the first `warm` chain steps run under stop_gradient and
+    contribute no loss — they exist to BUILD a realistic decoded-picture
+    buffer (48ch EL / 64ch BL features) so the LOSSY steps train the
+    steady-state P-frame path.  A plain T=2 chain only ever trains the
+    feature=None first-P configuration; at eval GOPs every later P-frame
+    runs code paths that never saw a gradient, and reconstruction
+    collapses within two frames (round-4 probe: 18.9 dB at frame 1 ->
+    6-8 dB at frames 2+).  Backward passes exist only for the t-1-warm
+    lossy steps, so warm steps add forward-only compile size — the knob
+    that fits a steady-state chain inside the remote compile helper's
+    memory (which OOMs on a 3-frame full-gradient cascade).
     """
     x_bl, x_el = batch["x_bl"], batch["x_el"]
     b, t = x_el.shape[0], x_el.shape[1]
@@ -142,12 +154,18 @@ def rd_loss_cascade(params, batch, lmbda: float, shape_hr, scale_factor,
         # clamp only the fed-back frames, like the eval harness does
         dpb["ref_frame_bl"] = jnp.clip(dpb["ref_frame_bl"], 0.0, 1.0)
         dpb["ref_frame_el"] = jnp.clip(dpb["ref_frame_el"], 0.0, 1.0)
+        if i <= warm:
+            # DPB-building step: no loss, no gradients through it
+            dpb = jax.tree.map(
+                lambda a: None if a is None else jax.lax.stop_gradient(a),
+                dpb, is_leaf=lambda a: a is None)
+            continue
         bpp = out["bit_el"] / n_el + out["bit_bl"] / n_bl
         total = total + lmbda * (255.0 ** 2) * (mse_el + mse_bl) + bpp
         bpp_acc += bpp
         mse_el_acc += mse_el
         mse_bl_acc += mse_bl
-    n = t - 1
+    n = t - 1 - warm
     loss = total / n
     return loss, {"loss": loss, "bpp": bpp_acc / n,
                   "mse_el": mse_el_acc / n, "mse_bl": mse_bl_acc / n}
@@ -195,10 +213,12 @@ _LOSSES = {
 
 
 def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
-                    pad_size=(0, 0, 0, 0), loss: str = "pair"):
+                    pad_size=(0, 0, 0, 0), loss: str = "pair",
+                    cascade_warm: int = 0):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
     metrics); jit-able and shardable.  loss: 'pair' (single P-frame),
-    'cascade' (multi-frame DPB chain), or 'intra' (IntraSS + aux)."""
+    'cascade' (multi-frame DPB chain), or 'intra' (IntraSS + aux).
+    cascade_warm: forward-only DPB warm-up steps (see rd_loss_cascade)."""
     # lmbda is read from batch["lmbda"] when present (a traced scalar), so
     # sweeps over rate points share ONE compiled executable instead of
     # re-baking the constant into a fresh graph per lambda
@@ -206,6 +226,12 @@ def make_train_step(optimizer, lmbda: float, shape_hr, scale_factor=2.0,
         def loss_fn(params, batch):
             lm = batch.get("lmbda", lmbda)
             return rd_loss_intra(params, batch, lm, shape_hr, pad_size)
+    elif loss == "cascade":
+        def loss_fn(params, batch):
+            lm = batch.get("lmbda", lmbda)
+            return rd_loss_cascade(params, batch, lm, shape_hr,
+                                   scale_factor, pad_size,
+                                   warm=cascade_warm)
     else:
         base = _LOSSES[loss]
 
@@ -241,12 +267,12 @@ _BATCH_KEYS = {"pair": ("x_bl", "x_el", "ref_bl", "ref_el"),
 
 def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
                             scale_factor=2.0, pad_size=(0, 0, 0, 0),
-                            loss: str = "pair"):
+                            loss: str = "pair", cascade_warm: int = 0):
     """Data-parallel train step: batch sharded on axis 0, params replicated.
     XLA lowers the parameter-gradient reduction to an all-reduce over the
     mesh's ICI links."""
     step = make_train_step(optimizer, lmbda, shape_hr, scale_factor, pad_size,
-                           loss=loss)
+                           loss=loss, cascade_warm=cascade_warm)
     repl = replicate(mesh)
     data = shard_batch(mesh)
     batch_sharding = {k: data for k in _BATCH_KEYS[loss]}
@@ -260,7 +286,7 @@ def make_sharded_train_step(mesh, optimizer, lmbda: float, shape_hr,
 
 def make_sharded_train_scan(mesh, optimizer, lmbda: float, shape_hr,
                             scale_factor=2.0, pad_size=(0, 0, 0, 0),
-                            loss: str = "pair"):
+                            loss: str = "pair", cascade_warm: int = 0):
     """K chained optimizer steps per device program via lax.scan.
 
     The single-step path pays one host->device dispatch round trip per
@@ -278,7 +304,7 @@ def make_sharded_train_scan(mesh, optimizer, lmbda: float, shape_hr,
     buffers are donated.
     """
     step = make_train_step(optimizer, lmbda, shape_hr, scale_factor, pad_size,
-                           loss=loss)
+                           loss=loss, cascade_warm=cascade_warm)
     repl = replicate(mesh)
     # scan axis leads; the batch axis (now axis 1) carries the data sharding
     from jax.sharding import NamedSharding, PartitionSpec as PS

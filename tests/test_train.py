@@ -50,6 +50,44 @@ def test_cascade_loss_runs_and_is_finite():
 
 
 @pytest.mark.slow
+def test_cascade_warm_trains_steady_state_path():
+    """warm=1 on a T=3 chain: the lossy step consumes a REAL 48ch/64ch
+    DPB (warm step's features), so gradients flow through the
+    steady-state P-frame path — the configuration the round-4 eval
+    collapse traced to being untrained.  Checks: finite grads, and the
+    feature-adaptor weights that only the steady-state path touches get
+    a nonzero gradient (they are zero-grad on a warm=0 T=2 chain)."""
+    import jax
+
+    crop = 128
+    rng = np.random.default_rng(1)
+    params = init_lssvc(0)
+    from lssvc_tpu.parallel.train import rd_loss_cascade
+
+    seq = np.clip(rng.random((1, 3, crop, crop, 3)), 0, 1).astype(np.float32)
+    down = lambda x: 0.25 * (x[:, :, 0::2, 0::2] + x[:, :, 1::2, 0::2]
+                             + x[:, :, 0::2, 1::2] + x[:, :, 1::2, 1::2])
+    batch = {"x_el": jnp.asarray(seq), "x_bl": jnp.asarray(down(seq))}
+
+    def loss_warm(p):
+        return rd_loss_cascade(p, batch, 0.01, (crop, crop), 2.0,
+                               (0, 0, 0, 0), warm=1)
+
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_warm, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(optax.global_norm(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    ss_keys = [k for k in grads
+               if "feature_adaptor_EL." in k or "feature_adaptor_EL_P" in k]
+    # exact key depends on init naming; require at least one steady-state
+    # adaptor weight to exist and receive gradient
+    assert ss_keys, sorted(k for k in grads if "adaptor" in k)[:8]
+    assert any(float(jnp.max(jnp.abs(grads[k]))) > 0 for k in ss_keys), \
+        ss_keys
+
+
+@pytest.mark.slow
 def test_intra_loss_step_decreases():
     """IntraSS RD + aux loss decreases on a fixed batch."""
     import jax

@@ -88,18 +88,24 @@ def parse_args():
     args = p.parse_args()
     if args.scan_steps <= 0:
         args.scan_steps = 8  # scan body is traced ONCE; length is free
+    args.cascade_warm = 0
     if args.stage == "cascade":
-        # the 3-frame cascade body (3 two-layer forwards + backward,
-        # ~1.48 MB MLIR) deterministically OOM-kills the chipless AOT
-        # compile helper on this box; the 2-frame body is ~the size of
-        # the --stage full graph, which compiles.  Override with
-        # LSSVC_CASCADE_FRAMES when the helper has more memory.
+        # the 3-frame FULL-GRADIENT cascade body (3 two-layer forwards +
+        # 3-frame backward, ~1.48 MB MLIR) deterministically OOM-kills
+        # the chipless AOT compile helper on this box; only `cap` frames
+        # get gradients (LSSVC_CASCADE_FRAMES to raise).  Frames beyond
+        # the cap become forward-only DPB WARM-UP steps rather than
+        # being dropped: a chain truncated to T=2 never trains the
+        # steady-state 48ch-feature P-frame path, and eval reconstruction
+        # collapses from the second P-frame on (round-4 probe: 18.9 dB
+        # at frame 1 -> 6-8 dB at frames 2+; rd_loss_cascade docstring).
         cap = int(os.environ.get("LSSVC_CASCADE_FRAMES", "2"))
         if args.frames > cap:
-            print(f"cascade frames {args.frames} -> {cap} "
-                  f"(compile-helper memory cap; set LSSVC_CASCADE_FRAMES "
+            args.cascade_warm = args.frames - cap
+            print(f"cascade: {args.cascade_warm} forward-only DPB warm-up "
+                  f"step(s) + {cap - 1} gradient step(s) (grad-frame cap "
+                  f"{cap}: compile-helper memory; set LSSVC_CASCADE_FRAMES "
                   f"to raise)", flush=True)
-            args.frames = cap
     return args
 
 
@@ -363,11 +369,13 @@ def main():
     if scan_k > 1:
         scan_fn = make_sharded_train_scan(mesh, optimizer, args.lmbda,
                                           shape_hr=(crop, crop),
-                                          loss=args.loss)
+                                          loss=args.loss,
+                                          cascade_warm=args.cascade_warm)
     else:
         step_fn = make_sharded_train_step(mesh, optimizer, args.lmbda,
                                           shape_hr=(crop, crop),
-                                          loss=args.loss)
+                                          loss=args.loss,
+                                          cascade_warm=args.cascade_warm)
 
     if args.data == "synthetic":
         data = SyntheticPairs(crop, args.seed)
