@@ -42,6 +42,10 @@ CKPT="$(ls runs/rd2/video_l0p01_ft_step*.npz 2>/dev/null | grep -v state | tail 
   timeout 5400 python tools/rd_experiment.py --out runs/rd2 --eval-only \
       --steps-intra 2000 --steps-base 2400 --steps-ft 600 \
       --modes bf16 int8 --report-name rd_report_int8.json 2>&1 | tail -30
+  echo "=== $(date +%T) 5b. GOP-2 diagnostic eval (error-accumulation reference)"
+  timeout 3600 python tools/rd_experiment.py --out runs/rd2 --eval-only \
+      --steps-intra 2000 --steps-base 2400 --steps-ft 600 --gop 2 \
+      --modes bf16 --report-name rd_report_gop2.json 2>&1 | tail -12
   echo "=== $(date +%T) 6. reference-scale eval (96f 1080p GOP32, 4 rate points)"
   python tools/ref_scale_eval.py --out runs/ref_scale
   timeout 28800 python test.py --test_config runs/ref_scale/config.json \
