@@ -366,16 +366,36 @@ def main():
 
     mesh = make_mesh()
     scan_k = max(args.scan_steps, 1)
+    # Warm cascade chains train ONLY the steady-state (features-present)
+    # P configuration; training exclusively on them starves the
+    # feature=None first-P path that every GOP's first P-frame runs
+    # (measured: 1200 warm-only steps regressed first-P 18.9 -> 9.9 dB
+    # while steady-state improved).  So warm runs ALTERNATE chunk-wise
+    # with plain short chains: even chunks = warm steady-state steps,
+    # odd chunks = first-P steps on the same batches truncated to the
+    # gradient-capped length.  Two executables, both compile-cache-
+    # friendly (the truncated chain IS the old T=cap graph).
+    alt_fn = None
     if scan_k > 1:
         scan_fn = make_sharded_train_scan(mesh, optimizer, args.lmbda,
                                           shape_hr=(crop, crop),
                                           loss=args.loss,
                                           cascade_warm=args.cascade_warm)
+        if args.loss == "cascade" and args.cascade_warm > 0:
+            alt_fn = make_sharded_train_scan(mesh, optimizer, args.lmbda,
+                                             shape_hr=(crop, crop),
+                                             loss=args.loss, cascade_warm=0)
     else:
         step_fn = make_sharded_train_step(mesh, optimizer, args.lmbda,
                                           shape_hr=(crop, crop),
                                           loss=args.loss,
                                           cascade_warm=args.cascade_warm)
+        if args.loss == "cascade" and args.cascade_warm > 0:
+            alt_step_fn = make_sharded_train_step(mesh, optimizer,
+                                                  args.lmbda,
+                                                  shape_hr=(crop, crop),
+                                                  loss=args.loss,
+                                                  cascade_warm=0)
 
     if args.data == "synthetic":
         data = SyntheticPairs(crop, args.seed)
@@ -453,11 +473,19 @@ def main():
         # (leading dim scan_k*batch) and reshaped to (scan_k, batch, ...),
         # so the host cost is amortized too.
         step = step0
+        chunk = 0
         while step < args.steps:
             bd, fpi = host_batch(scan_k * batch)
             bd = {k: v.reshape((scan_k, batch) + v.shape[1:])
                   for k, v in bd.items()}
-            params, opt_state, ms = scan_fn(params, opt_state, bd, lm)
+            if alt_fn is not None and chunk % 2 == 1:
+                # first-P chunk: truncate to the gradient-capped chain
+                gf = args.frames - args.cascade_warm
+                bd = {k: v[:, :, :gf] for k, v in bd.items()}
+                params, opt_state, ms = alt_fn(params, opt_state, bd, lm)
+            else:
+                params, opt_state, ms = scan_fn(params, opt_state, bd, lm)
+            chunk += 1
             step += scan_k
             # the chunk may overshoot --steps; label the final checkpoint
             # with the requested step count so downstream paths match
@@ -475,8 +503,14 @@ def main():
             batch_dict, fpi = host_batch(batch)
             # traced scalar: lambda sweeps share one compiled executable
             batch_dict["lmbda"] = lm
-            params, opt_state, metrics = step_fn(params, opt_state,
-                                                 batch_dict)
+            fn = step_fn
+            if args.loss == "cascade" and args.cascade_warm > 0 \
+                    and step % 2 == 0:
+                gf = args.frames - args.cascade_warm
+                batch_dict = {k: (v[:, :gf] if k != "lmbda" else v)
+                              for k, v in batch_dict.items()}
+                fn = alt_step_fn
+            params, opt_state, metrics = fn(params, opt_state, batch_dict)
             if step % args.log_every == 0:
                 log(step, metrics, fpi)
             if step % args.save_every == 0 or step == args.steps:
