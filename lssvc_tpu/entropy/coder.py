@@ -302,9 +302,16 @@ class IntraCoder:
     def eb_compress(self, z_nhwc) -> list:
         from ..utils.checks import assert_finite_np
 
-        z = np.asarray(z_nhwc)
+        # f32 symbol boundary: in bf16 serving mode the planes arrive as
+        # bfloat16, and numpy's per-op bf16 rounding of (z - med) can
+        # round knife-edge values differently from XLA (which may keep
+        # the subtract in excess precision).  Casting both operands to
+        # f32 FIRST makes the subtract+round bit-identical between host
+        # numpy and every device executable — the closed-loop stream
+        # contract depends on it (bf16 intra desync, round 4).
+        z = np.asarray(z_nhwc, dtype=np.float32)
         assert_finite_np("EntropyBottleneck.compress", z=z)
-        med = self.medians[None, None, None, :]
+        med = self.medians[None, None, None, :].astype(np.float32)
         symbols = np.round(z - med).astype(np.int32)
         strings = []
         for i in range(z.shape[0]):
@@ -335,8 +342,10 @@ class IntraCoder:
     def gc_compress(self, y_nhwc, index_nhwc, means_nhwc) -> list:
         from ..utils.checks import assert_finite_np
 
-        y = np.asarray(y_nhwc)
-        means = np.asarray(means_nhwc)
+        # f32 symbol boundary (see eb_compress): bit-identical round vs
+        # the device `_y_roundtrip` under every precision mode
+        y = np.asarray(y_nhwc, dtype=np.float32)
+        means = np.asarray(means_nhwc, dtype=np.float32)
         assert_finite_np("GaussianConditional.compress", y=y, means=means)
         symbols = np.round(y - means).astype(np.int32)
         strings = []
@@ -359,4 +368,4 @@ class IntraCoder:
                                      self.gc_table.offsets)
             outs.append(symbol_order_to_nhwc(vals, idx[i:i + 1].shape))
         out = np.concatenate(outs, axis=0).astype(np.float32)
-        return out + np.asarray(means_nhwc)
+        return out + np.asarray(means_nhwc, dtype=np.float32)

@@ -258,8 +258,16 @@ def _synthesis(params, y_hat):
 
 def _y_roundtrip(y, means):
     """Decoder-exact y_hat: int-normalized round(y - means) plus means —
-    the value `gc_decompress` reconstructs (elementwise f32 add is IEEE
-    round-to-nearest on host numpy and XLA alike, so bit-identical)."""
+    the value `gc_decompress` reconstructs.  Both operands are cast to
+    f32 BEFORE the subtract: elementwise f32 sub/round/add is IEEE
+    round-to-nearest on host numpy and XLA alike, so bit-identical — but
+    in bf16 serving mode y/means arrive as bfloat16, and a bf16 subtract
+    (numpy: rounded per op; XLA: possibly kept in excess precision) can
+    round knife-edge symbols differently from the host coder, flipping
+    prior-index buckets downstream and desynchronizing the EL stream
+    (the round-4 bf16 intra NaN crash)."""
+    y = y.astype(jnp.float32)
+    means = means.astype(jnp.float32)
     sym = jnp.round(y - means).astype(jnp.int32)
     return sym.astype(jnp.float32) + means
 

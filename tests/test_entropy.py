@@ -251,3 +251,51 @@ def test_entropy_bottleneck_table_bit_exact_with_reference_update():
     for i in range(ch):
         assert int(table.sizes[i]) == ref_len[i]
         assert list(table.cdfs[i][: table.sizes[i]]) == list(ref_cdf[i][: ref_len[i]]), f"ch {i}"
+
+
+def test_bf16_symbol_boundary_is_f32_exact():
+    """The closed-loop stream contract requires ONE canonical symbol
+    value per element: round(f32(y) - f32(means)).  In bf16 serving mode
+    y/means arrive as bfloat16, and a bf16-domain subtract (numpy ml_dtypes
+    rounds per op; XLA may keep excess precision) rounds knife-edge
+    values differently — round 4's bf16 intra-EL rANS desync (decoded
+    |y_hat| ~1.4e4 -> NaN recon).  Locks BOTH the host coder and the
+    device `_y_roundtrip` to the f32 boundary, on inputs engineered to
+    include bf16/f32 disagreement points."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from lssvc_tpu.entropy.coder import IntraCoder
+    from lssvc_tpu.models.init import init_intra_noar
+    from lssvc_tpu.models.intra_noar import _y_roundtrip_jit
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    y32 = rng.uniform(-3, 3, n).astype(np.float32)
+    # differences clustered tightly around half-integers: after bf16
+    # rounding of y/means many (y - means) land on rounding knife edges
+    d = (rng.integers(-2, 3, n) + 0.5
+         + rng.uniform(-2e-3, 2e-3, n)).astype(np.float32)
+    y_bf = y32.astype(ml_dtypes.bfloat16)
+    m_bf = (y32 - d).astype(ml_dtypes.bfloat16)
+
+    sym_f32 = np.round(y_bf.astype(np.float32)
+                       - m_bf.astype(np.float32)).astype(np.int32)
+    sym_bf16 = np.round((y_bf - m_bf).astype(np.float32)).astype(np.int32)
+    # the engineered inputs must actually exercise disagreement points,
+    # or this test proves nothing
+    assert (sym_f32 != sym_bf16).sum() > 0
+
+    y = jnp.asarray(y_bf).reshape(1, 8, n // 64, 8)
+    means = jnp.asarray(m_bf).reshape(1, 8, n // 64, 8)
+
+    coder = IntraCoder(init_intra_noar(N=8, seed=0))
+    idx = jnp.full(y.shape, 16, jnp.int32)
+    strings = coder.gc_compress(y, idx, means)
+    y_hat_host = coder.gc_decompress(strings, idx, means)
+    y_hat_dev = np.asarray(_y_roundtrip_jit(y, means))
+
+    want = sym_f32.reshape(y.shape).astype(np.float32) + np.asarray(
+        means, np.float32)
+    np.testing.assert_array_equal(np.asarray(y_hat_host, np.float32), want)
+    np.testing.assert_array_equal(y_hat_dev.astype(np.float32), want)
