@@ -18,6 +18,11 @@
 set -u
 PIDFILE="${1:?pidfile}"
 OUT="${2:?out_dir (explicit; must not start with '-')}"
+# Hard wall-clock deadline (epoch secs, env RD_DEADLINE): past it the
+# watcher KILLS the driver and exits, leaving the chip idle for the
+# round driver's bench/dryrun captures (round-3 lesson: a leftover
+# training loop starved the host during the official artifact capture).
+DEADLINE="${RD_DEADLINE:-0}"
 case "$OUT" in
   -*) echo "rd_watch.sh: out_dir '$OUT' looks like a flag — pass the" \
            "out_dir explicitly before any extra args" >&2; exit 2 ;;
@@ -32,6 +37,17 @@ relaunches=0
 launch_t=0
 
 while true; do
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    pid="$(cat "$PIDFILE" 2>/dev/null || true)"
+    echo "$(date +%T) RD_DEADLINE reached; killing driver (pid=${pid:-none})" \
+         "and exiting"
+    # drivers are launched with setsid (their own process group), so a
+    # group kill also takes down the in-flight train.py stage subprocess
+    [ -n "$pid" ] && kill -- "-$pid" 2>/dev/null || kill "$pid" 2>/dev/null
+    sleep 10
+    [ -n "$pid" ] && kill -9 -- "-$pid" 2>/dev/null || true
+    exit 0
+  fi
   if [ -f "$OUT/rd_report.json" ]; then
     echo "$(date +%T) report exists; watcher done"
     exit 0
@@ -57,7 +73,8 @@ while true; do
     fi
     echo "$(date +%T) driver (pid=${pid:-none}) gone; relaunching" \
          "($((relaunches + 1))/$MAX_RELAUNCH)"
-    python tools/rd_experiment.py --out "$OUT" "$@" >> runs/rd_log.txt 2>&1 &
+    setsid python tools/rd_experiment.py --out "$OUT" "$@" \
+        >> runs/rd_log.txt 2>&1 &
     echo $! > "$PIDFILE"
     launch_t=$now
     relaunches=$((relaunches + 1))
