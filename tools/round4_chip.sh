@@ -65,23 +65,23 @@ run_step 900 "4-fixture. ref-scale 96f 1080p YUV + config" \
   python tools/ref_scale_eval.py --out runs/ref_scale
 run_step 14400 "4. reference-scale eval (96f 1080p GOP32, 4 rate points)" \
   python test.py --test_config runs/ref_scale/config.json \
-    --i_frame_model_path runs/rd2/intra_l0p003_step2000.npz \
-        runs/rd2/intra_l0p01_step2000.npz \
-        runs/rd2/intra_l0p03_step2000.npz \
-        runs/rd2/intra_l0p09_step2000.npz \
-    --model_path runs/rd2/video_l0p003_ft_step600.npz \
-        runs/rd2/video_l0p01_ft_step600.npz \
-        runs/rd2/video_l0p03_ft_step600.npz \
-        runs/rd2/video_l0p09_ft_step600.npz \
+    --i_frame_model_path runs/rd2/intra_l0p003_step400.npz \
+        runs/rd2/intra_l0p01_step400.npz \
+        runs/rd2/intra_l0p03_step400.npz \
+        runs/rd2/intra_l0p09_step400.npz \
+    --model_path runs/rd2/video_l0p003_ft_step100.npz \
+        runs/rd2/video_l0p01_ft_step100.npz \
+        runs/rd2/video_l0p03_ft_step100.npz \
+        runs/rd2/video_l0p09_ft_step100.npz \
     --write_stream 1 --precision bf16 --ratios x2 --worker 1 \
     --stream_path runs/ref_scale/bins --output_path runs/ref_scale/out
 run_step 5400 "5. int8 RD eval (bf16 vs int8 BD delta, rd2 ckpts)" \
   python tools/rd_experiment.py --out runs/rd2 --eval-only \
-    --steps-intra 2000 --steps-base 2400 --steps-ft 600 \
+    --steps-intra 400 --steps-base 480 --steps-ft 100 \
     --modes bf16 int8 --report-name rd_report_int8.json
 run_step 3600 "6. GOP-2 diagnostic eval (error-accumulation reference)" \
   python tools/rd_experiment.py --out runs/rd2 --eval-only \
-    --steps-intra 2000 --steps-base 2400 --steps-ft 600 --gop 2 \
+    --steps-intra 400 --steps-base 480 --steps-ft 100 --gop 2 \
     --modes bf16 --report-name rd_report_gop2.json
 run_step 2400 "7a. warp packed-out boundary A/B" \
   python tools/warp_overhead_bench.py pack_after packed_out \
