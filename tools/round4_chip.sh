@@ -6,9 +6,11 @@
 #   1. trained-weights bench + warp-tier stats   (VERDICT #3/#6 evidence)
 #   2. int8_packed end-to-end 1080p bench, trained ckpt
 #   3. int8 RD eval on the rd2 checkpoints (bf16-vs-int8 BD delta)
-#   4. reference-scale eval: 96-frame 1080p, GOP 32, 4 rate points,
+#   4. batch-of-sequences aggregate fps (staged, batch 2)  (VERDICT #4;
+#      before ref-scale: a 20-min measurement must not be starved by a
+#      2-hour one)
+#   5. reference-scale eval: 96-frame 1080p, GOP 32, 4 rate points,
 #      real bitstreams                           (VERDICT #5)
-#   5. batch-of-sequences aggregate fps (staged, batch 2)  (VERDICT #4)
 #   6. int8_packed bench, random init
 #   7. GOP-2 diagnostic eval (error-accumulation reference)
 #   8. random-weights bench (1.583 fps continuity point; the round
@@ -87,13 +89,17 @@ else
   echo "=== $(date +%T) SKIP trained-ckpt steps (no rd2 ft checkpoint)" >> "$LOG"
 fi
 if [ -n "$INTRA" ]; then
-  run_step 3600 "3. int8 RD eval (bf16 vs int8 BD delta, rd2 ckpts)" \
+  run_step 2700 "3. int8 RD eval (bf16 vs int8 BD delta, rd2 ckpts)" \
     python tools/rd_experiment.py --out runs/rd2 --eval-only \
       --steps-intra 400 --steps-base 480 --steps-ft 100 \
       --modes bf16 int8 --report-name rd_report_int8.json
-  run_step 900 "4-fixture. ref-scale 96f 1080p YUV + config" \
+fi
+run_step 1500 "4. batch-of-sequences aggregate fps (staged, batch 2)" \
+  python bench.py --batch 2 --staged
+if [ -n "$INTRA" ]; then
+  run_step 900 "5-fixture. ref-scale 96f 1080p YUV + config" \
     python tools/ref_scale_eval.py --out runs/ref_scale
-  run_step 7200 "4. reference-scale eval (96f 1080p GOP32, 4 rate points)" \
+  run_step 7200 "5. reference-scale eval (96f 1080p GOP32, 4 rate points)" \
     python test.py --test_config runs/ref_scale/config.json \
       --i_frame_model_path runs/rd2/intra_l0p003_step400.npz \
           runs/rd2/intra_l0p01_step400.npz \
@@ -108,8 +114,6 @@ if [ -n "$INTRA" ]; then
 else
   echo "=== $(date +%T) SKIP rd-ckpt evals (no rd2 intra checkpoint)" >> "$LOG"
 fi
-run_step 1800 "5. batch-of-sequences aggregate fps (staged, batch 2)" \
-  python bench.py --batch 2 --staged
 run_step 1800 "6. int8_packed bench (random init)" \
   python bench.py --mode int8_packed
 if [ -n "$INTRA" ]; then
