@@ -99,18 +99,23 @@ run_step 1500 "4. batch-of-sequences aggregate fps (staged, batch 2)" \
 if [ -n "$INTRA" ]; then
   run_step 900 "5-fixture. ref-scale 96f 1080p YUV + config" \
     python tools/ref_scale_eval.py --out runs/ref_scale
-  run_step 7200 "5. reference-scale eval (96f 1080p GOP32, 4 rate points)" \
-    python test.py --test_config runs/ref_scale/config.json \
-      --i_frame_model_path runs/rd2/intra_l0p003_step400.npz \
-          runs/rd2/intra_l0p01_step400.npz \
-          runs/rd2/intra_l0p03_step400.npz \
-          runs/rd2/intra_l0p09_step400.npz \
-      --model_path runs/rd2/video_l0p003_ft_step100.npz \
-          runs/rd2/video_l0p01_ft_step100.npz \
-          runs/rd2/video_l0p03_ft_step100.npz \
-          runs/rd2/video_l0p09_ft_step100.npz \
-      --write_stream 1 --precision bf16 --ratios x2 --worker 1 \
-      --stream_path runs/ref_scale/bins --output_path runs/ref_scale/out
+  # one test.py invocation PER rate point: test.py writes its JSON only
+  # at the very end, so a single 4-point run killed at the deadline loses
+  # everything; per-point runs keep every completed point (the compile
+  # cache makes points 2-4 compile-free).  tools/ref_scale_merge.py
+  # combines out_p*/ into the reference-schema x2_{BL,EL,FL}.json.
+  for i in 0 1 2 3; do
+    lam="$(echo 0p003 0p01 0p03 0p09 | cut -d' ' -f$((i + 1)))"
+    run_step 2100 "5.$i ref-scale eval rate point l$lam (96f 1080p GOP32)" \
+      python test.py --test_config runs/ref_scale/config.json \
+        --i_frame_model_path "runs/rd2/intra_l${lam}_step400.npz" \
+        --model_path "runs/rd2/video_l${lam}_ft_step100.npz" \
+        --write_stream 1 --precision bf16 --ratios x2 --worker 1 \
+        --stream_path "runs/ref_scale/bins_p$i" \
+        --output_path "runs/ref_scale/out_p$i"
+  done
+  python tools/ref_scale_merge.py runs/ref_scale/out_p* \
+    --out runs/ref_scale/out >> "$LOG" 2>&1
 else
   echo "=== $(date +%T) SKIP rd-ckpt evals (no rd2 intra checkpoint)" >> "$LOG"
 fi
