@@ -88,6 +88,9 @@ def entropy_parameters(p, x):
 
 def motion_compensation(p, ref, feature, mv):
     """Warp multi-scale reference features and fuse (`dmc_net.py:352-368`)."""
+    from ..ops.warp import clamp_flow
+
+    mv = clamp_flow(mv, ref.shape[1], ref.shape[2])  # exact; see clamp_flow
     mv1, mv2, mv3 = scaled_flows(mv)
     if feature is None:
         f = conv(p.sub("feature_adaptor_I"), ref)
@@ -222,25 +225,18 @@ class DMC(Model):
         }
 
 
-class DMCExtend(DMC):
-    """Real-bitstream base layer (`dmc_net_extend.py`); coder wiring lives in
-    entropy.coder / models.dmc_stream."""
+class DecodeProfilingMixin:
+    """Per-stage decode wall-clock accumulators, the reference's
+    `--decoding_profiling` surface (`dmc_net_extend.py:19-47`).  Subclasses
+    set `DECODING_STAGES` to the stage keys their stream decoder's
+    `_StageTimer` actually fills."""
 
-    def __init__(self, params: dict):
-        super().__init__(params)
-        # per-stage decode wall-clock accumulators (`dmc_net_extend.py:19-47`)
+    DECODING_STAGES: tuple = ()
+
+    def _init_decoding_profiling(self):
         self.profile_decoding = False
-        # Stages actually measured by dmc_stream's decode timer.  The
-        # reference's 14-key dict (`dmc_net_extend.py:19-47`) splits finer
-        # (y_h_prior_dec / y_t_prior / rec_generation), but our decoder
-        # fuses those into single executables: "y_prior" covers the hyper
-        # + temporal priors and "res_dec" covers residual decode + recon
-        # generation.  Declaring keys the timer never fills would report
-        # misleading zeros, misattributing their wall-clock to neighbours.
-        self.decoding_profiling = {k: 0 for k in (
-            "frames", "overall", "entropy_dec_mv_z", "mv_y_prior_dec",
-            "entropy_dec_mv_y", "mv_dec", "motion_compensation_ctx_refine",
-            "entropy_dec_z", "y_prior", "entropy_dec_y", "res_dec")}
+        self.decoding_profiling = {
+            k: 0 for k in ("frames", "overall", *self.DECODING_STAGES)}
 
     def reset_decoding_profiling(self):
         for k in self.decoding_profiling:
@@ -250,6 +246,27 @@ class DMCExtend(DMC):
         frames = max(self.decoding_profiling["frames"], 1)
         return {k: (v if k == "frames" else v / frames)
                 for k, v in self.decoding_profiling.items()}
+
+
+class DMCExtend(DecodeProfilingMixin, DMC):
+    """Real-bitstream base layer (`dmc_net_extend.py`); coder wiring lives in
+    entropy.coder / models.dmc_stream."""
+
+    # Stages actually measured by dmc_stream's decode timer.  The
+    # reference's 14-key dict (`dmc_net_extend.py:19-47`) splits finer
+    # (y_h_prior_dec / y_t_prior / rec_generation), but our decoder
+    # fuses those into single executables: "y_prior" covers the hyper
+    # + temporal priors and "res_dec" covers residual decode + recon
+    # generation.  Declaring keys the timer never fills would report
+    # misleading zeros, misattributing their wall-clock to neighbours.
+    DECODING_STAGES = (
+        "entropy_dec_mv_z", "mv_y_prior_dec", "entropy_dec_mv_y", "mv_dec",
+        "motion_compensation_ctx_refine", "entropy_dec_z", "y_prior",
+        "entropy_dec_y", "res_dec")
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self._init_decoding_profiling()
 
     def update(self, force=False):
         from ..entropy.coder import VideoCoder

