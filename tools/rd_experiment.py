@@ -395,17 +395,27 @@ def main():
         curves[mode] = evaluate(args, ckpts, yuv_dir, mode, out_dir)
 
     report = {"lambdas": args.lambdas, "curves": curves}
+    # write the curves-only report BEFORE the BD fit: bd_rate raises
+    # ValueError on non-overlapping PSNR ranges (possible for degenerate
+    # curves), and hours of eval must not be lost to the summary statistic
+    report_path = os.path.join(out_dir, args.report_name)
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
     if len(args.modes) == 2 and all(len(c) >= 4 for c in curves.values()):
         from lssvc_tpu.harness.bd_rate import bd_rate
 
         a, b = (curves[m] for m in args.modes)
-        delta = bd_rate([p[0] for p in a], [p[1] for p in a],
-                        [p[0] for p in b], [p[1] for p in b])
-        report["bd_rate_delta_pct"] = delta
-        print(f"BD-rate {args.modes[1]} vs {args.modes[0]}: {delta:+.3f}%")
-    with open(os.path.join(out_dir, args.report_name), "w") as f:
-        json.dump(report, f, indent=2)
-    print(f"report -> {os.path.join(out_dir, args.report_name)}")
+        try:
+            delta = bd_rate([p[0] for p in a], [p[1] for p in a],
+                            [p[0] for p in b], [p[1] for p in b])
+        except ValueError as e:
+            print(f"BD-rate fit failed ({e}); curves-only report kept")
+        else:
+            report["bd_rate_delta_pct"] = delta
+            print(f"BD-rate {args.modes[1]} vs {args.modes[0]}: {delta:+.3f}%")
+            with open(report_path, "w") as f:
+                json.dump(report, f, indent=2)
+    print(f"report -> {report_path}")
 
 
 if __name__ == "__main__":
