@@ -37,6 +37,15 @@ latest() {  # newest step checkpoint for an out-prefix, or empty
   ls -t "$1"_step*.npz 2>/dev/null | grep -v '\.state\.' | head -1
 }
 
+# run2: one retry on failure.  Remote compiles normally take 70-147 s but
+# can wedge silently (round-4's "remote_compile: read body" drop, seen
+# again at round-5 start: 30 min blocked, zero CPU); train.py stages are
+# idempotent (--skip-if-done) and crash-resume from their own partial
+# checkpoints, so a retry after a cap kill loses nothing.
+run2() {
+  run_step "$@" || run_step "$@"
+}
+
 best_common_step() {  # best_common_step <prefix-template with @LAM@> <steps...>
   local tpl="$1"; shift
   local s lam ok
@@ -57,34 +66,34 @@ echo "=== $(date +%T) round-5 from-scratch queue start (deadline=$DEADLINE)" >> 
 # cold compile)
 for lam in 0p003 0p01 0p03 0p09; do
   l="$(echo "$lam" | tr p .)"
-  run_step 2100 "intra l$lam 4000 (scratch)" \
+  run2 1500 "intra l$lam 4000 (scratch)" \
     python train.py --loss intra --steps 4000 --lmbda "$l" --crop 256 \
       --batch-per-device 1 --out "runs/rd2/intra_l${lam}" \
       --save-every 400 --lr-decay-steps 4000 --skip-if-done
 done
 
 # T2. shared video base at lambda 0.01: spynet -> mv -> full -> cascade
-run_step 2700 "spynet 600 (scratch)" \
+run2 2100 "spynet 600 (scratch)" \
   python train.py --stage spynet --steps 600 --lmbda 0.01 --crop 256 \
     --batch-per-device 1 --out runs/rd2/v2_spynet --save-every 200 \
     --lr-decay-steps 600 --skip-if-done
 SPY="$(latest runs/rd2/v2_spynet)"
 
-run_step 3600 "mv 600" \
+run2 2700 "mv 600" \
   python train.py --stage mv --steps 600 --lmbda 0.01 --crop 256 \
     --batch-per-device 1 ${SPY:+--resume "$SPY"} \
     --out runs/rd2/v2_mv --save-every 200 --lr-decay-steps 600 \
     --skip-if-done
 MV="$(latest runs/rd2/v2_mv)"; [ -z "$MV" ] && MV="$SPY"
 
-run_step 5400 "full 1000" \
+run2 3900 "full 1000" \
   python train.py --stage full --steps 1000 --lmbda 0.01 --crop 256 \
     --batch-per-device 1 ${MV:+--resume "$MV"} \
     --out runs/rd2/v2_full --save-every 250 --lr-decay-steps 1000 \
     --skip-if-done
 FULL="$(latest runs/rd2/v2_full)"; [ -z "$FULL" ] && FULL="$MV"
 
-run_step 5400 "cascade 500 (alternating warm/plain)" \
+run2 3900 "cascade 500 (alternating warm/plain)" \
   python train.py --stage cascade --frames 3 --steps 500 --lmbda 0.01 \
     --crop 256 --batch-per-device 1 ${FULL:+--resume "$FULL"} \
     --out runs/rd2/v2_cascade --save-every 125 --lr-decay-steps 500 \
@@ -96,7 +105,7 @@ echo "=== $(date +%T) base for fine-tunes: $BASE" >> "$LOG"
 if [ -n "$BASE" ]; then
   for lam in 0p003 0p01 0p03 0p09; do
     l="$(echo "$lam" | tr p .)"
-    run_step 2700 "ft l$lam 300" \
+    run2 1800 "ft l$lam 300" \
       python train.py --stage cascade --frames 3 --steps 300 --lmbda "$l" \
         --crop 256 --batch-per-device 1 --resume "$BASE" \
         --out "runs/rd2/video_l${lam}_ft" --save-every 100 \
