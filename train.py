@@ -251,6 +251,15 @@ def main():
 
     pin_platform_from_env()
 
+    # Wedge diagnostics: the tunneled remote compile can block silently
+    # (observed round-4/5: >25 min, zero CPU, epoll-idle).  Dump all
+    # thread stacks every 10 min so the orchestrator log shows WHERE a
+    # stalled stage is stuck instead of an unexplained cap kill.
+    import faulthandler
+
+    faulthandler.enable()
+    faulthandler.dump_traceback_later(600, repeat=True)
+
     # persistent compile cache: the staged RD recipe launches train.py once
     # per (stage, lambda); without the cache every invocation recompiles
     # its train-step graph from scratch (~7 min fixed overhead per
