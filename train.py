@@ -440,6 +440,9 @@ def main():
     last = {"step": 0, "t": time.time()}
 
     def log(step, metrics, fpi):
+        # watchdog re-arm: stack dumps fire only after 10 silent minutes
+        # (first-compile wait or a genuine stall), not on healthy cadence
+        faulthandler.dump_traceback_later(600, repeat=True)
         m = {k: float(v) for k, v in metrics.items()}
         now = time.time()
         # incremental rate since the previous log line (the cumulative rate
