@@ -15,6 +15,8 @@ interleaved->block permutation never materialises a tiny-minor-dim tensor.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -153,6 +155,15 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     # offset channel 2j is unit j's dx, 2j+1 its dy; add the base flow
     flow_x = offset[..., 0::2] + flow[..., 0:1]  # (B, H, W, 32)
     flow_y = offset[..., 1::2] + flow[..., 1:2]
+    if os.environ.get("LSSVC_OD_STATS"):
+        # per-unit flow magnitudes decide the grouped-warp tier (tiny /
+        # windowed / fallback); trained offsets are the usual reason a
+        # checkpoint serves slower than random init
+        jax.debug.print(
+            "# od-stats: max|fx|={fx:.2f} max|fy|={fy:.2f} "
+            "max|offset|={o:.2f}",
+            fx=jnp.max(jnp.abs(flow_x)), fy=jnp.max(jnp.abs(flow_y)),
+            o=jnp.max(jnp.abs(offset)))
 
     # pallas windowed grouped warp (block layout c' = k*32 + j, mask
     # applied inside) with exact XLA grouped-gather fallback for

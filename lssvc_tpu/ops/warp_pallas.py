@@ -48,6 +48,15 @@ from .warp import flow_warp_lowmem as _flow_warp_xla_lowmem
 # this small-window tier is the steady-state deployment path.
 _SMALL_BOUND = 2
 _SMALL_D_V = 3
+# Mid cblock tier for the OffsetDiversity grouped warp: trained offset
+# heads emit ~8-11 px diversity offsets (max_residue_magnitude*tanh;
+# measured on the round-5 trained checkpoints), which overflow the tiny
+# tier and previously fell to the full 43x63 windowed kernel — the
+# reason a trained checkpoint served 2.4x slower than random init at
+# identical flow tiers elsewhere.  b=12 covers the measured offsets with
+# margin at ~1/3 the windowed kernel's vertical scan.
+_MID_BOUND = 12
+_MID_D_V = 15
 
 TILE_C = 128
 _VREG_R = 8  # sublane count: window rows are processed in 8-row chunks
@@ -697,7 +706,8 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                                    wx, 0.0)
                     i0 = jnp.clip(l0, 0, TILE_C - 1)
                     i1 = jnp.clip(l0 + 1, 0, TILE_C - 1)
-                    for rp in range(d_v + 1 - b, d_v + 1 + b + 2):
+
+                    def tap(rp, acc):
                         vw = ((ry0 == rp).astype(jnp.float32) * (one - wy)
                               + (ry0 + 1 == rp).astype(jnp.float32) * wy)
                         v = win_ref[i + rp, k * go + us:k * go + us + _VREG_R,
@@ -705,7 +715,17 @@ def _grouped_warp_kernel_cblock(fx_ref, fy_ref, mask_ref, x_ref, out_ref,
                                     ].astype(jnp.float32)
                         g0 = jnp.take_along_axis(v, i0, axis=1)
                         g1 = jnp.take_along_axis(v, i1, axis=1)
-                        acc = acc + (g0 * w0 + g1 * w1) * vw
+                        return acc + (g0 * w0 + g1 * w1) * vw
+
+                    if 2 * b + 2 <= 12:  # tiny tier: unroll statically
+                        for rp in range(d_v + 1 - b, d_v + 1 + b + 2):
+                            acc = tap(rp, acc)
+                    else:  # mid tier: dynamic tap-row loop (the full
+                        # unroll at b=12 is 26 taps x chunks x channels —
+                        # Mosaic compile blows up; dynamic index on the
+                        # untiled major window dim is fine)
+                        acc = jax.lax.fori_loop(d_v + 1 - b,
+                                                d_v + 1 + b + 2, tap, acc)
                 m = mask_ref[i, us:us + _VREG_R, :]
                 if nhwc_out != "0":
                     accs[k * go + us] = (acc * m).astype(out_ref.dtype)
@@ -1372,6 +1392,7 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
 
     fmax = jnp.maximum(jnp.max(jnp.abs(flow_x)), jnp.max(jnp.abs(flow_y)))
     tiny = fmax <= _SMALL_BOUND
+    mid = fmax <= _MID_BOUND
     in_bounds = (jnp.max(jnp.abs(flow_x)) <= d_h - 1) & \
         (jnp.max(jnp.abs(flow_y)) <= d_v - 1)
 
@@ -1384,6 +1405,20 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
     def windowed_or_gather(operands):
         return jax.lax.cond(in_bounds, fast, slow, operands)
 
+    def mid_or_windowed(operands):
+        # trained OffsetDiversity offsets land here (see _MID_BOUND): the
+        # mid cblock tier scans 2*12+2 tap rows vs the windowed kernel's
+        # 43, with the tiny tier's 8-units-per-gather layout
+        return jax.lax.cond(
+            mid,
+            lambda ops: _grouped_warp_pallas_cblock(ops[0], ops[1], ops[2],
+                                                    ops[3], group_num,
+                                                    _MID_BOUND, _MID_D_V,
+                                                    d_h,
+                                                    packed_out=packed_out),
+            windowed_or_gather,
+            operands)
+
     return jax.lax.cond(
         tiny,
         lambda ops: _grouped_warp_pallas_cblock(ops[0], ops[1], ops[2],
@@ -1391,5 +1426,5 @@ def grouped_warp_auto(x, flow_x, flow_y, mask, group_num: int,
                                                 _SMALL_BOUND, _SMALL_D_V,
                                                 d_h,
                                                 packed_out=packed_out),
-        windowed_or_gather,
+        mid_or_windowed,
         (x, flow_x, flow_y, mask))

@@ -391,6 +391,30 @@ def test_cblock_kernel_large_window():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_grouped_cblock_kernel_mid_tier():
+    """Grouped mid-tier configuration (b=12, d_v=13, dynamic tap loop):
+    the tier trained OffsetDiversity offsets (~8-11 px, bounded by
+    max_residue_magnitude*tanh) dispatch to.  Must stay exact for
+    per-unit flows up to b."""
+    from lssvc_tpu.ops.warp_pallas import _grouped_warp_pallas_cblock
+
+    rng = np.random.default_rng(91)
+    g, cg, go = 4, 2, 8
+    b, d_v = 12, 15  # 2b+2=26 taps -> fori_loop branch; (2*d_v+2)%8==0
+    h, w = 14, 150  # unaligned -> internal padding + true-border clamp
+    x = _rand((1, h, w, 8), 92)
+    fx = jnp.asarray(rng.uniform(-b, b, (1, h, w, go)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-b, b, (1, h, w, go)).astype(np.float32))
+    mask = _rand((1, h, w, go), 93) ** 2
+    out = _grouped_warp_pallas_cblock(x, fx, fy, mask, g, b, d_v, D_H)
+    planes = [x[..., k::cg] for k in range(cg)]
+    x_blk = jnp.concatenate([p for plane in planes for p in (plane,) * 2],
+                            axis=-1)
+    ref = flow_warp_grouped(x_blk, fx, fy) * jnp.concatenate([mask] * cg,
+                                                             axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
 def test_cblock_roll_kernel_exact(monkeypatch):
     """The LSSVC_WARP_ROLL=1 tiny-tier variant (lane rotations instead of
     dynamic lane gathers) must match the gather formulation exactly.  Uses
