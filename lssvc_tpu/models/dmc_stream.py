@@ -146,6 +146,9 @@ def write_planes(coder, planes):
 
 
 def compress(model, x, dpb):
+    from ..utils.checks import sanitize_dpb
+
+    dpb = sanitize_dpb(dpb)
     planes, out_dpb = encode_device(
         model.params, x, dpb["ref_frame_bl"], dpb["ref_feature_bl"],
         split_contexts=getattr(model, "profile_decoding", False))
@@ -250,6 +253,9 @@ class _StageTimer:
 
 
 def decompress(model, string, height, width, dpb):
+    from ..utils.checks import sanitize_dpb
+
+    dpb = sanitize_dpb(dpb)
     coder = model._coder
     profiling = (model.decoding_profiling
                  if getattr(model, "profile_decoding", False) else None)

@@ -181,6 +181,9 @@ def write_planes(coder, planes):
 
 
 def compress(model, x_el, dpb):
+    from ..utils.checks import sanitize_dpb
+
+    dpb = sanitize_dpb(dpb)
     texture, mv_bl_hat, y_bl_hat = _depad(dpb, model.pad_size)
     planes, out_dpb = encode_device(
         model.params, x_el, dpb["ref_frame_el"], dpb["ref_feature_el"],
@@ -293,8 +296,10 @@ def _dec_recon(params, y_hat, c1, c2, c3):
 
 
 def decompress(model, string, height, width, dpb):
+    from ..utils.checks import sanitize_dpb
     from .dmc_stream import _StageTimer
 
+    dpb = sanitize_dpb(dpb)
     coder = model._coder
     params = model.params
     shape_hr = model.shape_hr

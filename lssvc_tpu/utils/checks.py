@@ -57,6 +57,45 @@ def raise_if_nonfinite(what: str, flags) -> None:
             "corrupt bitstream")
 
 
+def sanitize_dpb(dpb: dict, bound: float = 1024.0) -> dict:
+    """Bound the decoded-picture-buffer recurrence at serving stream
+    boundaries.
+
+    A model served beyond its trained chain length (e.g. the reference
+    protocol's GOP 32 with a cascade trained on T=3 chains) can drift its
+    feedback features out of distribution until some P-frame's prior nets
+    emit non-finite symbol planes — observed on 96f 1080p GOP32: warp
+    PSNR decays over ~11 P-frames, then NaN `y_means` aborts the encode
+    (the `assert_finite` guard, correctly).  Clamping the recurrence at
+    the frame boundary keeps every frame's inputs bounded, turning a hard
+    encode abort into graceful quality degradation until the next intra
+    refresh.
+
+    Synchronization: the encoder's feedback DPB IS the decoder's output,
+    so applying the same clamp at both compress() and decompress()
+    entries keeps the two in lockstep.  A healthy DPB (finite, frames in
+    [0, 1], features within +-bound) passes through bit-identical:
+    reconstructed frames are already clipped to [0, 1] by the recon path,
+    and trained feature magnitudes sit orders of magnitude below the
+    bound.  Disable with LSSVC_DPB_SANITIZE=0.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    if os.environ.get("LSSVC_DPB_SANITIZE", "1") == "0":
+        return dpb
+    out = {}
+    for k, v in dpb.items():
+        if v is None or not hasattr(v, "dtype"):
+            out[k] = v
+            continue
+        lo, hi = (0.0, 1.0) if k.startswith("ref_frame") else (-bound, bound)
+        out[k] = jnp.clip(jnp.nan_to_num(v, nan=0.0, posinf=hi, neginf=lo),
+                          lo, hi)
+    return out
+
+
 def assert_finite_np(what: str, **arrays) -> None:
     """Host-side variant for numpy planes at the coder boundary."""
     bad = sorted(k for k, a in arrays.items()
