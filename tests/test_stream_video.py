@@ -416,3 +416,43 @@ def test_lssvc_stream_roundtrip_int8(lssvc_model, tmp_path):
         set_packed_width(1)
         q8.set_calibration({})
         jax.clear_caches()
+
+
+def test_sanitize_dpb_bounds_recurrence():
+    """sanitize_dpb: non-finite / exploded DPB entries are bounded (frames
+    to [0,1], features to +-1024), healthy entries pass bit-identical, and
+    None/meta values survive — the serving guard that keeps reference-
+    protocol GOP-32 chains encodable past the trained chain length."""
+    import jax.numpy as jnp
+
+    from lssvc_tpu.utils.checks import sanitize_dpb
+
+    poisoned = {
+        "ref_frame_el": jnp.array([0.25, 1.5, -0.5, float("nan")]),
+        "ref_feature_el": jnp.array([3.0, 1e9, float("-inf"),
+                                     float("nan")]),
+        "mv_bl_hat": None,
+    }
+    s = sanitize_dpb(poisoned)
+    frame = np.asarray(s["ref_frame_el"])
+    feat = np.asarray(s["ref_feature_el"])
+    assert np.all(np.isfinite(frame)) and np.all(np.isfinite(feat))
+    assert frame.min() >= 0.0 and frame.max() <= 1.0
+    assert np.abs(feat).max() <= 1024.0
+    assert frame[0] == 0.25 and feat[0] == 3.0  # healthy values untouched
+    assert s["mv_bl_hat"] is None
+
+    healthy = {"ref_frame_el": jnp.array([0.0, 0.5, 1.0]),
+               "ref_feature_el": jnp.array([-512.0, 17.25, 1024.0])}
+    s2 = sanitize_dpb(healthy)
+    for k in healthy:
+        np.testing.assert_array_equal(np.asarray(s2[k]),
+                                      np.asarray(healthy[k]))
+
+    import os
+
+    os.environ["LSSVC_DPB_SANITIZE"] = "0"
+    try:
+        assert sanitize_dpb(poisoned) is poisoned  # opt-out passthrough
+    finally:
+        del os.environ["LSSVC_DPB_SANITIZE"]
