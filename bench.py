@@ -112,6 +112,13 @@ def bench_chain(el_hw=(1152, 1920), k=7, mode="bf16", batch=1,
         set_packed_width(2)
     else:
         set_precision_mode(mode)
+    import os as _os
+
+    from lssvc_tpu.ops.nn import set_od_offset_cap
+
+    # serving preset (mirrors apply_cli_precision): cap OD diversity
+    # offsets into the mid warp tier; LSSVC_OD_OFFSET_CAP=0 disables
+    set_od_offset_cap(float(_os.environ.get("LSSVC_OD_OFFSET_CAP", "10")))
     if ckpt:
         from lssvc_tpu.checkpoint import load_params
 

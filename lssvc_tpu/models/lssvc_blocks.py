@@ -152,6 +152,11 @@ def offset_diversity(p, x, aux_feature, flow, group_num=16, offset_num=2,
     o1, o2, mask = jnp.split(out, 3, axis=-1)  # 32 ch each
     mask = jax.nn.sigmoid(mask)
     offset = max_residue_magnitude * jnp.tanh(jnp.concatenate([o1, o2], axis=-1))
+    from ..ops.nn import od_offset_cap
+
+    _cap = od_offset_cap()
+    if _cap:  # serving-side outlier cap -> mid warp tier (see set_od_offset_cap)
+        offset = jnp.clip(offset, -_cap, _cap)
     # offset channel 2j is unit j's dx, 2j+1 its dy; add the base flow
     flow_x = offset[..., 0::2] + flow[..., 0:1]  # (B, H, W, 32)
     flow_y = offset[..., 1::2] + flow[..., 1:2]

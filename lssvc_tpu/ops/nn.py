@@ -16,6 +16,8 @@ video_net_component.py:52-105` and `/root/reference/src/IntraModules/gdn.py`
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -99,6 +101,31 @@ def apply_precision_cli(mode: str, int8_calib: str | None = None):
             _q8.set_calibration(json.load(f))
         set_packed_width(2)
     set_precision_mode(mode)
+    # serving preset: cap OD diversity offsets into the mid warp tier
+    # (identical at encoder and decoder — both run this CLI preset)
+    set_od_offset_cap(float(os.environ.get("LSSVC_OD_OFFSET_CAP", "10")))
+
+
+_OD_OFFSET_CAP = None
+
+
+def set_od_offset_cap(v):
+    """Serving-side cap on OffsetDiversity diversity offsets (px).
+
+    Trained offset heads are tanh-bounded at max_residue_magnitude=40 but
+    measured offsets concentrate at 8-11 px — a handful of saturated
+    outlier pixels push the per-frame |flow| max past the mid warp tier's
+    b=12 bound and send the whole grouped warp to the 43x63 windowed
+    kernel (the tier dispatch keys on the global max).  Capping offsets
+    at 10 px keeps offset+|mv| within the mid tier.  Encoder and decoder
+    both compute offsets from decoded data, so the identical cap keeps
+    streams in lockstep.  None/0 disables (training never sets it)."""
+    global _OD_OFFSET_CAP
+    _OD_OFFSET_CAP = float(v) if v else None
+
+
+def od_offset_cap():
+    return _OD_OFFSET_CAP
 
 
 def compute_dtype():

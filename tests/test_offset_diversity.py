@@ -67,3 +67,35 @@ def test_offset_diversity_matches_reference():
     # sub-1e-3 absolute deviations
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
                                out_ref, atol=1e-3, rtol=1e-2)
+
+
+def test_offset_diversity_serving_cap_bounds_flows():
+    """set_od_offset_cap clamps diversity offsets at serving (mid warp
+    tier eligibility); uncapped training path is unchanged."""
+    import_reference()
+    from src.InterModules.lssvc_modules import OffsetDiversity as RefOD
+
+    from lssvc_tpu.ops.nn import set_od_offset_cap
+
+    torch.manual_seed(3)
+    ref = RefOD()
+    ref.eval()
+    x = torch.randn(1, 48, 16, 16)
+    aux = torch.randn(1, 48 + 3 + 2, 16, 16) * 30  # drive tanh saturation
+    flow = torch.randn(1, 2, 16, 16)
+
+    params = convert_state_dict(ref.state_dict())
+    base = np.asarray(offset_diversity(P(params), nhwc(x), nhwc(aux),
+                                       nhwc(flow)))
+    try:
+        set_od_offset_cap(0.5)  # tight cap => output must change
+        capped = np.asarray(offset_diversity(P(params), nhwc(x), nhwc(aux),
+                                             nhwc(flow)))
+    finally:
+        set_od_offset_cap(None)
+    assert not np.allclose(base, capped), \
+        "cap had no effect despite saturated offsets"
+    # and with the cap off again, the original result reproduces
+    again = np.asarray(offset_diversity(P(params), nhwc(x), nhwc(aux),
+                                        nhwc(flow)))
+    np.testing.assert_array_equal(base, again)
