@@ -57,7 +57,7 @@ def raise_if_nonfinite(what: str, flags) -> None:
             "corrupt bitstream")
 
 
-def sanitize_dpb(dpb: dict, bound: float = 1024.0) -> dict:
+def sanitize_dpb(dpb: dict, bound: float = 65536.0) -> dict:
     """Bound the decoded-picture-buffer recurrence at serving stream
     boundaries.
 
@@ -73,11 +73,16 @@ def sanitize_dpb(dpb: dict, bound: float = 1024.0) -> dict:
 
     Synchronization: the encoder's feedback DPB IS the decoder's output,
     so applying the same clamp at both compress() and decompress()
-    entries keeps the two in lockstep.  A healthy DPB (finite, frames in
-    [0, 1], features within +-bound) passes through bit-identical:
-    reconstructed frames are already clipped to [0, 1] by the recon path,
-    and trained feature magnitudes sit orders of magnitude below the
-    bound.  Disable with LSSVC_DPB_SANITIZE=0.
+    entries keeps the two in lockstep.  A healthy DPB passes through
+    bit-identical: frames are bounded at +-8 (not [0,1] — the reference
+    clamps recon to [0,1] only in its serving decode, dmc_net_extend.py
+    :138, while the forward/estimated path is unclamped; a [0,1] clamp
+    here would break closed-loop stream-vs-forward parity at random
+    init, whose recon lives in roughly +-3), features at +-bound (65536:
+    random-init inter-layer textures reach +-3.6e3, trained features far
+    less; the observed blowups are 1e9+), both far above healthy
+    magnitudes and orders below the blowups.  Disable with
+    LSSVC_DPB_SANITIZE=0.
     """
     import os
 
@@ -90,7 +95,7 @@ def sanitize_dpb(dpb: dict, bound: float = 1024.0) -> dict:
         if v is None or not hasattr(v, "dtype"):
             out[k] = v
             continue
-        lo, hi = (0.0, 1.0) if k.startswith("ref_frame") else (-bound, bound)
+        lo, hi = (-8.0, 8.0) if k.startswith("ref_frame") else (-bound, bound)
         out[k] = jnp.clip(jnp.nan_to_num(v, nan=0.0, posinf=hi, neginf=lo),
                           lo, hi)
     return out

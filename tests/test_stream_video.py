@@ -428,22 +428,26 @@ def test_sanitize_dpb_bounds_recurrence():
     from lssvc_tpu.utils.checks import sanitize_dpb
 
     poisoned = {
-        "ref_frame_el": jnp.array([0.25, 1.5, -0.5, float("nan")]),
+        "ref_frame_el": jnp.array([0.25, 1.5, -50.0, float("nan")]),
         "ref_feature_el": jnp.array([3.0, 1e9, float("-inf"),
-                                     float("nan")]),
+                                     float("nan"), -4000.0]),
         "mv_bl_hat": None,
     }
     s = sanitize_dpb(poisoned)
     frame = np.asarray(s["ref_frame_el"])
     feat = np.asarray(s["ref_feature_el"])
     assert np.all(np.isfinite(frame)) and np.all(np.isfinite(feat))
-    assert frame.min() >= 0.0 and frame.max() <= 1.0
-    assert np.abs(feat).max() <= 1024.0
-    assert frame[0] == 0.25 and feat[0] == 3.0  # healthy values untouched
+    # frames bound at +-8 (NOT [0,1] -- closed-loop parity at random
+    # init; see sanitize_dpb docstring), features at +-1024
+    assert np.abs(frame).max() <= 8.0
+    assert np.abs(feat).max() <= 65536.0
+    # healthy / mildly-out-of-range values untouched
+    assert frame[0] == 0.25 and frame[1] == 1.5 and feat[0] == 3.0
+    assert feat[4] == -4000.0  # random-init texture range passes through
     assert s["mv_bl_hat"] is None
 
-    healthy = {"ref_frame_el": jnp.array([0.0, 0.5, 1.0]),
-               "ref_feature_el": jnp.array([-512.0, 17.25, 1024.0])}
+    healthy = {"ref_frame_el": jnp.array([-1.5, 0.5, 2.0]),
+               "ref_feature_el": jnp.array([-512.0, 17.25, 3600.0])}
     s2 = sanitize_dpb(healthy)
     for k in healthy:
         np.testing.assert_array_equal(np.asarray(s2[k]),
